@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the harness tables (TESTDATA.md) plus shared
+  * output-determinism helpers used by every query in the registry.
+  *
+  * Determinism conventions (SURVEY.md §5):
+  *  - money/quantity sums go through DECIMAL so Spark and the DuckDB oracle
+  *    agree bit-exactly, then cast back to DOUBLE for a stable output type;
+  *  - timestamps are emitted as formatted strings (UTC session);
+  *  - every query is totally ordered with explicit tiebreak columns.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as LONG (legacy flag), then
+    * truncate to microseconds exactly like DuckDB's nanos→micros read.
+    * Integer `div` — double division would lose precision above 2^53. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Cast to DECIMAL(18,s) — exact, associative sums on both engines. */
+  def dec(c: Column, s: Int = 2): Column = c.cast(s"decimal(18,$s)")
+
+  /** Exact decimal sum emitted as DOUBLE (exact conversion, hash-stable). */
+  def dsum(c: Column, s: Int = 2): Column = sum(dec(c, s)).cast("double")
+
+  /** Timestamp → canonical string, second precision. */
+  def fts(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Timestamp → canonical string, microsecond precision (events.ts). */
+  def ftsu(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Date-only canonical string. */
+  def fdate(c: Column): Column = date_format(c, "yyyy-MM-dd")
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over `events` — the batch twins of the Structured
+  * Streaming surface (SURVEY.md §2.11): tumbling / sliding / session
+  * windows, stateful first-event dedup, and JSON prop extraction (F14).
+  * The streaming forms (watermarks, MemoryStream, checkpoint-resume) are
+  * exercised in ScalaTest (graft.streaming); these batch twins are the
+  * DuckDB-oracle-checked semantics.
+  */
+object EventOps {
+
+  /** Tumbling 1-hour window aggregation — batch twin of
+    * `groupBy(window($"ts", "1 hour"))` (oracle via time_bucket). */
+  private val q40 = GraftQuery(
+    "q40_tumbling_window_1h",
+    (s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(fts(col("w.start")).as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    },
+    Some("""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+      event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""))
+
+  /** Sliding 10-minute window, 5-minute slide — every event lands in
+    * exactly two windows; oracle expands the two starts per event. */
+  private val q41 = GraftQuery(
+    "q41_sliding_window_10m_5m",
+    (s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(fts(col("w.start")).as("w_start"), col("n"), col("sum_value"))
+        .orderBy(col("w_start"))
+    },
+    Some("""WITH e AS (SELECT ts, value,
+        unnest([time_bucket(INTERVAL '5 minutes', ts),
+                time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS w_start
+      FROM events)
+      SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM e GROUP BY w_start ORDER BY w_start"""))
+
+  /** Session windows (30-minute gap) per user — `session_window` in Spark;
+    * oracle is the gaps-and-islands formulation (new session when the gap
+    * from the previous event is >= the gap duration; session end = last
+    * event + gap, matching Spark's session_window semantics). */
+  private val q42 = GraftQuery(
+    "q42_session_window_30m",
+    (s, d) => {
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), ftsu(col("w.start")).as("session_start"),
+          ftsu(col("w.end")).as("session_end"), col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""WITH x AS (SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS ns
+      FROM events),
+      y AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+      SELECT user_id,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+
+  /** JSON prop extraction (F14 — events.props carries a JSON payload like
+    * the reference's profile JSON, search.py:64-74). */
+  private val q43 = GraftQuery(
+    "q43_json_extract_props",
+    (s, d) => {
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+      sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Stateful first-event dedup — batch twin of streaming
+    * `dropDuplicates("user_id","event_type")` (SURVEY §2.11): first event
+    * per key in event-time order, deterministic via event_id tiebreak. */
+  private val q44 = GraftQuery(
+    "q44_first_event_dedup",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          ftsu(col("ts")).as("first_ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""SELECT user_id, event_type, event_id, first_ts FROM (
+      SELECT user_id, event_type, event_id,
+        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+        row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44)
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.Tables._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MLlib-backed pipeline operators (SURVEY.md §7.2 M6) and multimodal
+  * column plumbing.
+  *
+  * These are the genuinely non-SQL operators: deterministic local embedding
+  * generation (Tokenizer→HashingTF→IDF — the stand-in for the reference's
+  * OpenAI embedding calls, /root/reference/backend/ai_service.py:23-42,
+  * per BASELINE.json "MLlib for embedding generation, not ANN serving"),
+  * and LSH approximate nearest neighbors (the `$vectorSearch`
+  * numCandidates analog, ai_service.py:59-96). No DuckDB twin exists for
+  * MLlib hashing, so these register rows-only checks; the binary/metadata
+  * halves that ARE portable get oracles.
+  */
+object MLPipelineOps {
+
+  /** Deterministic embedding generation: text → Tokenizer → HashingTF(64)
+    * → IDF. Hash-based, seed-free, reproducible across runs/executors.
+    * Output: per-doc feature norm + non-zero count (rows-only check). */
+  private val q60 = GraftQuery(
+    "q60_embed_tfidf",
+    (s, d) => {
+      import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+      val tf = new HashingTF().setInputCol("words").setOutputCol("tf")
+        .setNumFeatures(64)
+      val idf = new IDF().setInputCol("tf").setOutputCol("features")
+      val tfDf = tf.transform(tok.transform(docs))
+      val out = idf.fit(tfDf).transform(tfDf)
+      import org.apache.spark.ml.linalg.Vector
+      val normNnz = udf((v: Vector) =>
+        (math.sqrt(v.toArray.map(x => x * x).sum), v.numNonzeros))
+      out.select(col("doc_id"),
+          normNnz(col("features")).as("s"))
+        .select(col("doc_id"),
+          round(col("s._1"), 4).as("tfidf_norm"), col("s._2").as("nnz"))
+        .orderBy(col("doc_id"))
+    },
+    None,
+    note = "MLlib hashing — no SQL twin; rows-only check")
+
+  /** ANN via BucketedRandomProjectionLSH — the scale path for top-k
+    * (numCandidates analog, SURVEY T4/O3): bucket the corpus, probe the
+    * query vector's buckets, exact-rescore only the candidates. */
+  private val q61 = GraftQuery(
+    "q61_lsh_ann_topk",
+    (s, d) => {
+      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          array_to_vector(col("embedding")).as("features"))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setBucketLength(0.5).setNumHashTables(4).setSeed(42)
+        .setInputCol("features").setOutputCol("hashes")
+      val model = lsh.fit(emb)
+      val key = emb.filter(col("vec_id") === 0).head().getAs[org.apache.spark.ml.linalg.Vector]("features")
+      model.approxNearestNeighbors(emb, key, 10)
+        .select(col("vec_id"), col("label"), round(col("distCol"), 4).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    },
+    None,
+    note = "MLlib LSH — approximate, rows-only check")
+
+  /** Multimodal column plumbing: treat text bytes as an opaque binary
+    * payload with typed metadata — byte length, md5 fingerprint, chunk
+    * count (the schema/partitioning shape for image/audio columns).
+    * Pure byte arithmetic → oracle-checked. */
+  private val q62 = GraftQuery(
+    "q62_multimodal_binary_meta",
+    (s, d) => {
+      t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("fp"),
+          floor((octet_length(col("payload")) + lit(255)) / lit(256.0)).cast("long")
+            .as("n_chunks"),
+          col("source").as("modality_hint"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS fp,
+      CAST(floor((octet_length(text::BLOB) + 255) / 256.0) AS BIGINT) AS n_chunks,
+      source AS modality_hint
+      FROM documents ORDER BY doc_id"""))
+
+  /** Multimodal decode STUB (the image/audio libs are not in this
+    * container): a clearly-fake deterministic "decoder" derives frame
+    * metadata from the payload fingerprint. The Spark-side plumbing —
+    * binary column in, struct-typed metadata out, partition-parallel —
+    * is real; swap `fakeDecode` for a real codec UDF in production. */
+  private val q63 = GraftQuery(
+    "q63_multimodal_decode_stub",
+    (s, d) => {
+      val payload = col("text").cast("binary")
+      val h = conv(substring(md5(payload), 1, 8), 16, 10).cast("long")
+      // STUB: width/height/frames derived from the content hash — stands in
+      // for a real decode (no codec libs in the container).
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          struct(
+            (h % 1280).cast("int").as("width"),
+            (h % 720).cast("int").as("height"),
+            (h % 24 + 1).cast("int").as("n_frames"))
+            .as("decoded_meta"))
+        .select(col("doc_id"), col("decoded_meta.width"),
+          col("decoded_meta.height"), col("decoded_meta.n_frames"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 1280 AS INT) AS width,
+      CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 720 AS INT) AS height,
+      CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 24 + 1 AS INT) AS n_frames
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q60, q61, q62, q63)
+}

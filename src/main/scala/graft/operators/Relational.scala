@@ -1,0 +1,364 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational capability family over the TPC-H-ish harness tables:
+  * scan/filter/project/limit (SURVEY.md §2.1-§2.2), joins incl. broadcast /
+  * semi / anti (§2.3), aggregations (§2.4), windows (§2.5), top-k (§2.6),
+  * set ops (§2.7).
+  *
+  * Scale notes (100 TB honesty): filters are written before joins/sorts so
+  * Catalyst pushes them into the parquet scan; small dims (region, nation,
+  * supplier) are broadcast explicitly; every top-k is `orderBy().limit()`
+  * (TakeOrderedAndProject — per-partition heaps, no global sort); windows
+  * are partitioned by high-cardinality keys except the deliberate
+  * ratio-to-total demo.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary (reference analog: status-group
+    * telemetry, backend/database.py:18-19 done as one pass — SURVEY A8). */
+  private val q01 = GraftQuery(
+    "q01_pricing_summary",
+    (s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6)
+            .as("avg_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      count(*) AS count_order,
+      round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Filter+project+top-k; predicates push to the parquet scan (SURVEY P1,
+    * O1-O3), top-k via TakeOrderedAndProject (T1). */
+  private val q02 = GraftQuery(
+    "q02_filter_project_topk",
+    (s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_extendedprice")).cast("double").as("price"),
+          dec(col("l_discount")).cast("double").as("disc"))
+        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS disc
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100"""))
+
+  /** 3-way equi-join revenue rollup (capability join, SURVEY §2.3):
+    * lineitem ⋈ orders shuffles on the join key; customer side is the
+    * smaller input and AQE picks the strategy. */
+  private val q03 = GraftQuery(
+    "q03_join_revenue_by_segment",
+    (s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+      val l = t(s, d, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment,
+      CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Broadcast dimension join chain region⋈nation⋈customer (SURVEY §2.3,
+    * O6): both dims are broadcast — zero shuffle on the fact side until
+    * the final (tiny) aggregation. */
+  private val q04 = GraftQuery(
+    "q04_broadcast_region_rollup",
+    (s, d) => {
+      val r = t(s, d, "region")
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy(col("r_name"))
+    },
+    Some("""SELECT r_name, count(*) AS n_customers,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
+  /** Left-semi join — the reference's "already seen" membership check
+    * (movie_generator.py:201-204; SURVEY U1 dual). */
+  private val q05 = GraftQuery(
+    "q05_semi_join_active_buyers",
+    (s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 150000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+        .limit(500)
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+      ORDER BY c_custkey LIMIT 500"""))
+
+  /** Left-anti join per nation — the "not yet seen" exclusion
+    * (movie_generator.py:201-204 negation; SURVEY U1). */
+  private val q06 = GraftQuery(
+    "q06_anti_join_inactive",
+    (s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+      val n = t(s, d, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_inactive"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name, count(*) AS n_inactive
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** Top-3-per-group via ranked window (SURVEY W1/T1 generalized);
+    * partitioned by high-cardinality custkey → scales. */
+  private val q07 = GraftQuery(
+    "q07_top3_orders_per_customer",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          dec(col("o_totalprice")).cast("double").as("price"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""SELECT o_custkey, rn, o_orderkey, price FROM (
+      SELECT o_custkey, o_orderkey,
+        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  /** Running per-user sum with an explicit rows frame (SURVEY §2.5 frame
+    * demo); DECIMAL accumulation keeps the running sum bit-exact. */
+  private val q08 = GraftQuery(
+    "q08_running_sum_per_user",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("running_value", sum(dec(col("value"))).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), ftsu(col("ts")).as("ts_s"),
+          col("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+      strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      FROM events ORDER BY user_id, event_id"""))
+
+  /** Ratio-to-total via empty-frame window — the reference's confidence
+    * metric len(group)/len(all) (backend/routes.py:132; SURVEY A3/W4). */
+  private val q09 = GraftQuery(
+    "q09_ratio_to_total",
+    (s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("confidence",
+          round(col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy()), 6))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS cnt,
+      round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS confidence
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** min/max range string per group — the reference's year-range
+    * (backend/routes.py:80,85; SURVEY A4 + F9). */
+  private val q10 = GraftQuery(
+    "q10_minmax_range",
+    (s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          concat_ws("..", fdate(min(col("o_orderdate"))), fdate(max(col("o_orderdate"))))
+            .as("date_range"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus,
+      strftime(min(o_orderdate), '%Y-%m-%d') || '..' || strftime(max(o_orderdate), '%Y-%m-%d') AS date_range,
+      count(*) AS cnt
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** ROLLUP grouping-sets capability (SURVEY §2.4 note). */
+  private val q11 = GraftQuery(
+    "q11_rollup_counts",
+    (s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))
+    },
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      count(*) AS cnt, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"""))
+
+  /** INTERSECT / EXCEPT set ops (SURVEY §2.7) over customer vs supplier
+    * nations, tagged and unioned into one deterministic result. */
+  private val q12 = GraftQuery(
+    "q12_setops_nations",
+    (s, d) => {
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      val custN = t(s, d, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name")).distinct()
+      val suppN = t(s, d, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name")).distinct()
+      val both = custN.intersect(suppN).withColumn("tag", lit("both"))
+      val custOnly = custN.except(suppN).withColumn("tag", lit("cust_only"))
+      both.unionByName(custOnly).select(col("tag"), col("n_name"))
+        .orderBy(col("tag"), col("n_name"))
+    },
+    Some("""WITH cn AS (SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      sn AS (SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+      SELECT 'both' AS tag, n_name FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+      UNION ALL
+      SELECT 'cust_only' AS tag, n_name FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
+      ORDER BY tag, n_name"""))
+
+  /** Deterministic distinct top-3 (reference's nondeterministic Python-set
+    * genre pick made deterministic — routes.py:81-86; SURVEY A5). */
+  private val q13 = GraftQuery(
+    "q13_top3_event_types",
+    (s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("event_type"))
+        .limit(3)
+    },
+    Some("""SELECT event_type, count(*) AS cnt FROM events
+      GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3"""))
+
+  /** Last-writer-wins merge key dedup — the reference's upsert semantics
+    * (movie_generator.py:452-467; SURVEY S5/W2): latest order per customer. */
+  private val q14 = GraftQuery(
+    "q14_last_writer_wins",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          fdate(col("o_orderdate")).as("latest_date"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, latest_date FROM (
+      SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS latest_date,
+        row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders) WHERE rn = 1 ORDER BY o_custkey"""))
+
+  /** count + count-distinct per group (SURVEY S2/A8). */
+  private val q15 = GraftQuery(
+    "q15_count_distinct_per_nation",
+    (s, d) => {
+      val n = t(s, d, "nation")
+      t(s, d, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          countDistinct(col("c_mktsegment")).as("n_segments"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name, count(*) AS n_customers,
+      count(DISTINCT c_mktsegment) AS n_segments
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** Per-type part stats with exact-decimal avg (SURVEY A1-A2 analog). */
+  private val q16 = GraftQuery(
+    "q16_part_type_stats",
+    (s, d) => {
+      t(s, d, "part")
+        .groupBy(col("p_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(dec(col("p_retailprice"))).cast("double") / count(lit(1)), 6)
+            .as("avg_price"),
+          max(col("p_size")).as("max_size"))
+        .orderBy(col("p_type"))
+    },
+    Some("""SELECT p_type, count(*) AS cnt,
+      round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+      max(p_size) AS max_size
+      FROM part GROUP BY p_type ORDER BY p_type"""))
+
+  /** Supplier volume via broadcast fact⋈dim join (SURVEY §2.3). */
+  private val q17 = GraftQuery(
+    "q17_supplier_volume",
+    (s, d) => {
+      val sup = t(s, d, "supplier")
+      t(s, d, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(dsum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_items"))
+        .orderBy(col("s_name"))
+    },
+    Some("""SELECT s_name, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      count(*) AS n_items
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY s_name"""))
+
+  val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
+    q09, q10, q11, q12, q13, q14, q15, q16, q17)
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.Tables._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The flagship family: filtered vector top-k semantic search — the Spark
+  * re-expression of the reference's `$vectorSearch` / manual-cosine paths
+  * (/root/reference/backend/ai_service.py:59-119, search.py:15-44).
+  *
+  * Physical shape (SURVEY.md §3.1): broadcast the 1-row query vector
+  * (crossJoin(broadcast(q)) — the Mongo "send the query vector to the
+  * server" hop), score with a codegen'd HOF cosine over the fact side,
+  * then `orderBy().limit(k)` so the planner emits TakeOrderedAndProject
+  * (per-partition top-k heaps + driver merge — no global sort; this is the
+  * shape that survives 1000 executors at 100 TB).
+  *
+  * Output discipline: float scores are computed for ordering but NOT
+  * emitted — DuckDB evaluates cosine in float32 (~1e-7 off from double,
+  * measured), while adjacent top-k score gaps in this data are >1e-5, so
+  * rank order is stable across engines but raw score bytes are not.
+  */
+object VectorSearch {
+
+  /** Query-vector side: one row, broadcast. vec_id 0 plays the role of the
+    * embedded user query (ai_service.py:23-42 embeds the query text). */
+  private def queryVec(s: SparkSession, d: String, id: Long): DataFrame =
+    t(s, d, "embeddings").filter(col("vec_id") === id)
+      .select(col("embedding").as("qvec"))
+
+  private def ranked(scored: DataFrame, k: Int, idCol: String): DataFrame = {
+    // Scalable top-k first (TakeOrderedAndProject), then rank the k
+    // survivors with a window that only ever sees k rows.
+    val top = scored.orderBy(col("score").desc, col(idCol)).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
+      .drop("score", "qvec", "embedding")
+  }
+
+  /** T1 — plain top-20 cosine neighbors of query vector 0
+    * (ai_service.py:98-115 manual path). */
+  private val q20 = GraftQuery(
+    "q20_vector_topk",
+    (s, d) => {
+      val scored = t(s, d, "embeddings")
+        .crossJoin(broadcast(queryVec(s, d, 0)))
+        .withColumn("score", cosine(col("embedding"), col("qvec")))
+      ranked(scored, 20, "vec_id").select(col("rank"), col("vec_id"), col("label"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      s AS (SELECT vec_id, label, list_cosine_similarity(embedding, qvec) AS score
+            FROM embeddings, q)
+      SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank, vec_id, label
+      FROM s ORDER BY score DESC, vec_id LIMIT 20"""))
+
+  /** T1+P1 — pre-filtered top-15: metadata filter applied BEFORE scoring,
+    * mirroring the filter pushed inside $vectorSearch (ai_service.py:70,
+    * search.py:18-20). The filter lands in the parquet scan (O1). */
+  private val q21 = GraftQuery(
+    "q21_vector_topk_prefiltered",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("lang").isin("en", "fr"))   // P1-analog status pre-filter
+      val emb = t(s, d, "embeddings")
+      val scored = docs
+        .join(emb, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(queryVec(s, d, 0)))
+        .withColumn("score", cosine(col("embedding"), col("qvec")))
+      ranked(scored, 15, "doc_id")
+        .select(col("rank"), col("doc_id"), col("lang"), col("source"),
+          substring(col("text"), 1, 30).as("snippet"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      s AS (SELECT doc_id, lang, source, substr(text, 1, 30) AS snippet,
+              list_cosine_similarity(embedding, qvec) AS score
+            FROM documents JOIN embeddings ON doc_id = vec_id, q
+            WHERE lang IN ('en', 'fr'))
+      SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+             doc_id, lang, source, snippet
+      FROM s ORDER BY score DESC, doc_id LIMIT 15"""))
+
+  /** Per-label top-2 neighbors — grouped top-k via partitioned window
+    * (SURVEY W1 generalized; scales: partition key is the group). */
+  private val q22 = GraftQuery(
+    "q22_vector_topk_per_label",
+    (s, d) => {
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("score").desc, col("vec_id"))
+      t(s, d, "embeddings")
+        .crossJoin(broadcast(queryVec(s, d, 0)))
+        .withColumn("score", cosine(col("embedding"), col("qvec")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 2)
+        .select(col("label"), col("rank"), col("vec_id"))
+        .orderBy(col("label"), col("rank"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      s AS (SELECT vec_id, label, list_cosine_similarity(embedding, qvec) AS score
+            FROM embeddings, q)
+      SELECT label, rank, vec_id FROM (
+        SELECT label, vec_id,
+          row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id) AS rank
+        FROM s) WHERE rank <= 2 ORDER BY label, rank"""))
+
+  /** Embedding-cosine near-duplicate pairs within a label block — the
+    * blocked similarity self-join (SURVEY J2 shape at embedding level;
+    * the label equi-key is the blocking key that keeps this O(n²/blocks)
+    * instead of O(n²) — at 100 TB the block key comes from LSH buckets,
+    * see MLPipelineOps.q61). Threshold 0.40 verified to sit in a >2e-3
+    * empirical score gap at sf0.01, so float32-vs-double cannot flip membership. */
+  private val q23 = GraftQuery(
+    "q23_embedding_neardup_pairs",
+    (s, d) => {
+      val a = t(s, d, "embeddings")
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("label"))
+      val b = t(s, d, "embeddings")
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("label"))
+      a.join(b, Seq("label"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("score", cosine(col("a_emb"), col("b_emb")))
+        .filter(col("score") >= 0.40)
+        .select(col("label"), col("a_id"), col("b_id"))
+        .orderBy(col("label"), col("a_id"), col("b_id"))
+    },
+    Some("""SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40
+      ORDER BY a.label, a_id, b_id"""))
+
+  /** Two-tier ordering — scored rows first, unscorable rows appended
+    * (ai_service.py:103-119; SURVEY T2/U2): simulate missing embeddings
+    * via the doc⋈emb left join (docs beyond the embeddings table have no
+    * vector, exactly the reference's no-embedding tier). */
+  private val q24 = GraftQuery(
+    "q24_two_tier_ordering",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val scored = docs.join(emb, col("doc_id") === col("vec_id"), "left")
+        .crossJoin(broadcast(queryVec(s, d, 0)))
+        .withColumn("score",
+          when(col("embedding").isNotNull, cosine(col("embedding"), col("qvec"))))
+        .withColumn("has_emb", col("embedding").isNotNull)
+      val top = scored
+        .orderBy(col("has_emb").desc, col("score").desc_nulls_last, col("doc_id"))
+        .limit(25)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("has_emb").desc, col("score").desc_nulls_last, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("has_emb"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      s AS (SELECT doc_id, embedding IS NOT NULL AS has_emb,
+              CASE WHEN embedding IS NOT NULL
+                   THEN list_cosine_similarity(embedding, qvec) END AS score
+            FROM documents LEFT JOIN embeddings ON doc_id = vec_id, q)
+      SELECT row_number() OVER (ORDER BY has_emb DESC, score DESC NULLS LAST, doc_id) AS rank,
+             doc_id, has_emb
+      FROM s ORDER BY has_emb DESC, score DESC NULLS LAST, doc_id LIMIT 25"""))
+
+  /** Overscan-then-rerank (search.py:38-40; SURVEY T3/O4): stage 1 takes
+    * 3k candidates by a cheap proxy (dot with the query vector's sign
+    * pattern — stands in for the ANN index's coarse score), stage 2 exactly
+    * re-scores the survivors and cuts to k. */
+  private val q25 = GraftQuery(
+    "q25_overscan_rerank",
+    (s, d) => {
+      val k = 10
+      val cand = t(s, d, "embeddings")
+        .crossJoin(broadcast(queryVec(s, d, 0)))
+        .withColumn("coarse", dotProduct(col("embedding"), col("qvec")))
+        .orderBy(col("coarse").desc, col("vec_id"))
+        .limit(3 * k)
+      val rescored = cand
+        .withColumn("score", cosine(col("embedding"), col("qvec")))
+      ranked(rescored, k, "vec_id")
+        .select(col("rank"), col("vec_id"), col("label"))
+        .orderBy(col("rank"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      cand AS (SELECT vec_id, label, embedding, qvec,
+                 list_dot_product(embedding, qvec) AS coarse
+               FROM embeddings, q
+               ORDER BY coarse DESC, vec_id LIMIT 30),
+      s AS (SELECT vec_id, label,
+              list_cosine_similarity(embedding, qvec) AS score FROM cand)
+      SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank, vec_id, label
+      FROM s ORDER BY score DESC, vec_id LIMIT 10"""))
+
+  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25)
+}
