@@ -19,7 +19,8 @@ object QueryRegistry {
       operators.VectorSearch.all ++
       operators.DedupText.all ++
       operators.EventOps.all ++
-      operators.MLPipelineOps.all
+      operators.MLPipelineOps.all ++
+      operators.PipelineOps.all
 
   lazy val byName: Map[String, GraftQuery] =
     queries.map(q => q.name -> q).toMap

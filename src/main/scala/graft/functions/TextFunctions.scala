@@ -17,14 +17,14 @@ object TextFunctions {
     * (movie_generator.py:329-338). */
   def cleanText(c: Column): Column =
     trim(regexp_replace(
-      regexp_replace(
+      trim(regexp_replace(
         regexp_replace(c, "[*_\"'`#]", ""),
-        "\\s+", " "),
+        "\\s+", " ")),
       "^\\d+\\.\\s*", ""))
 
   /** F1 twin in DuckDB SQL (needs the 'g' global flag). */
   def cleanTextSql(e: String): String =
-    s"trim(regexp_replace(regexp_replace(regexp_replace($e, '[*_\"''`#]', '', 'g'), '\\s+', ' ', 'g'), '^\\d+\\.\\s*', '', 'g'))"
+    s"trim(regexp_replace(trim(regexp_replace(regexp_replace($e, '[*_\"''`#]', '', 'g'), '\\s+', ' ', 'g')), '^\\d+\\.\\s*', '', 'g'))"
 
   /** F3/F4 — year extraction with [1900,2030] validation, fallback 2000
     * (movie_generator.py:353-356,375-377). */

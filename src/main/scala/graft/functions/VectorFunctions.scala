@@ -28,8 +28,20 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity in [-1, 1]; null-safe on null arrays. */
+  /** Cosine similarity in [-1, 1]; null-safe on null arrays.
+    *
+    * Dispatches to the fused native Catalyst expression
+    * ([[graft.functions.expressions.CosineSimilarity]], single codegen'd
+    * loop) unless -Dgraft.cosine.impl=hof selects the pure-builtin HOF
+    * composition. Both accumulate sequentially in double and are
+    * bit-equal (asserted in FunctionsSpec), so the oracle contract is
+    * implementation-independent. */
   def cosine(a: Column, b: Column): Column =
+    if (sys.props.get("graft.cosine.impl").contains("hof")) cosineHof(a, b)
+    else graft.functions.expressions.CosineSimilarity.cosine_native(a, b)
+
+  /** The five-pass builtin-HOF formulation (SURVEY F13). */
+  def cosineHof(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Euclidean distance (used by the LSH bucketed path). */

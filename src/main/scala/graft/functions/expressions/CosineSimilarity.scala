@@ -1,0 +1,90 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Fused single-pass kernels shared by interpreted eval and generated code.
+  * One loop computes dot, |a|² and |b|² — versus the HOF composition
+  * (VectorFunctions.cosine) which walks the arrays five times and allocates
+  * an intermediate array per zip_with. Accumulation order (sequential,
+  * double) is identical to the HOF form, so both produce bit-equal scores.
+  */
+object VectorKernels {
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+}
+
+/** Native Catalyst `CosineSimilarity(array<float>, array<float>) -> double`
+  * with whole-stage codegen — the M8 optimization from SURVEY.md §4 item 1:
+  * at 100 TB the cosine kernel runs once per (row × query) and the fused
+  * loop beats the allocating HOF chain by ~3-5×. Null-intolerant: null
+  * input → null output (matches the reference's embedding-presence guard,
+  * /root/reference/backend/ai_service.py:103,117).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.VectorKernels.cosineF($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native dot product, same shape. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.VectorKernels.dotF($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Column-API entry point. */
+  def cosine_native(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimilarity(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def dot_native(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+}

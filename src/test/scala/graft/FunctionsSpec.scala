@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.functions.expressions.CosineSimilarity.cosine_native
+import graft.functions.expressions.RatcliffObershelp
+import graft.functions.expressions.StringRatio.string_ratio
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the scalar-function library (SURVEY.md §5 item 2):
+  * golden cases for cleaning/parsing/keying (F1-F12) and vector math
+  * (F13), including the reference-derived fixtures from FIXTURES.md §2. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: cos(v,v)=1, orthogonal=0, opposite=-1 (FIXTURES §2.3)") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 2f), Array(-1f, -2f))
+    ).toDF("a", "b").withColumn("c", cosine(col("a"), col("b")))
+    val got = df.select("c").as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+  }
+
+  test("native CosineSimilarity expression is bit-equal to the HOF form") {
+    val emb = Tables.t(spark, sf, "embeddings").limit(50)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = emb.crossJoin(broadcast(q))
+      .select(
+        cosine(col("embedding"), col("qv")).as("hof"),
+        cosine_native(col("embedding"), col("qv")).as("native"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"hof=${r.getDouble(0)} native=${r.getDouble(1)}"))
+  }
+
+  test("cleanText strips markdown, collapses whitespace, drops list prefix (F1)") {
+    val df = Seq(
+      "**The  Bicycle   Thief**",
+      "1. Drama",
+      "  'quoted'  _val_  "
+    ).toDF("s").select(cleanText(col("s")).as("c"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("The Bicycle Thief", "Drama", "quoted val"))
+  }
+
+  test("extractYear: extract, clamp to [1900,2030], fallback 2000 (F3/F4)") {
+    val df = Seq("c. 1948", "in 2031 somewhere", "1850 old", "none", "1999")
+      .toDF("s").select(extractYear(col("s")).as("y"))
+    // '2031' fails the (19|20)\d{2}+range gate → 2000; '1850' no match → 2000
+    assert(df.as[Int].collect().toSeq == Seq(1948, 2000, 2000, 2000, 1999))
+  }
+
+  test("slug matches reference rule (movie_generator.py:384)") {
+    val df = Seq("The Bicycle Thief").toDF("t")
+      .select(concat_ws("_", slug(col("t")), lit(1948)).as("id"))
+    assert(df.as[String].head() == "the_bicycle_thief_1948")
+  }
+
+  test("RatcliffObershelp.ratio matches Python difflib exactly") {
+    val cases = Seq(
+      ("the bicycle thief", "the bicycle thieves", 0.8888888888888888),
+      ("the bicycle thief", "the bicycle thief", 1.0),
+      ("stalker", "the bicycle thief", 0.25),
+      ("abcd", "", 0.0),
+      ("", "", 1.0),
+      ("kitten", "sitting", 0.6153846153846154),
+      ("the godfather", "the godfather part ii", 0.7647058823529411),
+      ("heat", "hate", 0.75),
+      ("abab", "bababa", 0.8))
+    cases.foreach { case (a, b, want) =>
+      assert(math.abs(RatcliffObershelp.ratio(a, b) - want) < 1e-12,
+        s"ratio($a, $b)")
+    }
+  }
+
+  test("StringRatio expression evaluates in a plan (codegen path)") {
+    val df = Seq(("the bicycle thief", "the bicycle thieves"))
+      .toDF("a", "b").select(string_ratio(col("a"), col("b")).as("r"))
+    assert(math.abs(df.as[Double].head() - 0.8888888888888888) < 1e-12)
+  }
+
+  test("levRatio normalized similarity (F8 oracle twin)") {
+    val df = Seq(("kitten", "sitting")).toDF("a", "b")
+      .select(levRatio(col("a"), col("b")).as("r"))
+    assert(math.abs(df.as[Double].head() - (1.0 - 3.0 / 7)) < 1e-12)
+  }
+}

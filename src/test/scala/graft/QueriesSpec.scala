@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantics tests for every registry query on sf0.001 (the DuckDB
+  * hash-compare happens driver-side at sf0.01; these catch regressions
+  * fast and pin a few query-specific invariants). */
+class QueriesSpec extends SparkSpec {
+
+  test("every registry query executes; oracle-checked ones return rows") {
+    // queries whose sf0.001 result is legitimately empty (thresholded
+    // pair-finders over tiny data)
+    val mayBeEmpty = Set("q23_embedding_neardup_pairs", "q34_minhash_lsh_pairs",
+      "q38_fuzzy_name_pairs", "q46_ratcliff_fuzzy_pairs")
+    QueryRegistry.queries.foreach { q =>
+      val n = q.fn(spark, sf).count()
+      assert(n >= 0, q.name)
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("entry() flagship returns rows (t1 smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q20 top-1 neighbor of vec 0 is vec 0 itself (cos=1)") {
+    val top = QueryRegistry.byName("q20_vector_topk").fn(spark, sf)
+      .filter(col("rank") === 1).head()
+    assert(top.getAs[Long]("vec_id") == 0L)
+  }
+
+  test("q22 emits exactly 2 ranked rows per label") {
+    val df = QueryRegistry.byName("q22_vector_topk_per_label").fn(spark, sf)
+    val counts = df.groupBy("label").count().select("count").distinct()
+    assert(counts.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("top-k nesting: q20 top-10 ids are a subset of top-20 ids") {
+    val ids = QueryRegistry.byName("q20_vector_topk").fn(spark, sf)
+      .orderBy("rank").select("vec_id").collect().map(_.getLong(0))
+    assert(ids.take(10).toSet.subsetOf(ids.take(20).toSet))
+  }
+
+  test("q30 exact-dedup fingerprints are unique per distinct text") {
+    val df = QueryRegistry.byName("q30_dedup_exact_fingerprint").fn(spark, sf)
+    val total = Tables.t(spark, sf, "documents")
+      .select("text").distinct().count()
+    assert(df.count() == total)
+  }
+
+  test("q44 first-event dedup output is unique on (user_id, event_type)") {
+    val df = QueryRegistry.byName("q44_first_event_dedup").fn(spark, sf)
+    assert(df.count() == df.select("user_id", "event_type").distinct().count())
+  }
+
+  test("oracleSql covers every query except the declared rows-only ones") {
+    val rowsOnly = QueryRegistry.queries.filter(_.oracle.isEmpty).map(_.name)
+    assert(rowsOnly.toSet ==
+      Set("q60_embed_tfidf", "q61_lsh_ann_topk", "q46_ratcliff_fuzzy_pairs"))
+    assert(SparkEntry.oracleSql.keySet ==
+      SparkEntry.queries.keySet -- rowsOnly)
+  }
+}

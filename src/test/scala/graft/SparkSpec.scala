@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM-wide session — getOrCreate
+  * dedups across suites; UTC + small shuffle partitions mirror the
+  * driver's Verify/Bench configs). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val sf: String = "/root/testdata/sf0.001"
+
+  def init(): Unit = spark.sparkContext.setLogLevel("WARN")
+}

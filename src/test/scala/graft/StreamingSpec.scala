@@ -1,0 +1,96 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming tests (SURVEY.md §5 item 4): MemoryStream-driven
+  * micro-batches through the watermarked window/dedup operators, plus
+  * checkpoint-resume (the reference's pickle-checkpoint semantics,
+  * movie_generator.py:106-168, replaced by Spark's exactly-once
+  * bookkeeping). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  private def run(name: String, df: org.apache.spark.sql.DataFrame,
+                  mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window + watermark emits closed windows (streaming q40 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:55:00"), 1, "click", 2.0),
+      Ev(3, ts("2024-01-01 02:30:00"), 2, "view", 3.0)) // advances watermark past hour 0
+    val out = run("tumbling_out",
+      StreamingOps.tumblingCounts(mem.toDF(), watermark = "10 minutes"))
+    // hour-0 window closed by the 02:30 event: 2 clicks, sum 3.0
+    val h0 = out.filter(col("w_start") === ts("2024-01-01 00:00:00")).collect()
+    assert(h0.length == 1)
+    assert(h0(0).getAs[Long]("n") == 2L)
+    assert(h0(0).getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("session window merges events within gap (streaming q42 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:10:00"), 7, "click", 1.0),  // same session
+      Ev(3, ts("2024-01-01 01:00:00"), 7, "click", 1.0),  // new session
+      Ev(4, ts("2024-01-01 09:00:00"), 9, "view", 0.0))   // watermark push
+    val out = run("session_out",
+      StreamingOps.sessionize(mem.toDF(), gap = "30 minutes"))
+    val u7 = out.filter(col("user_id") === 7).orderBy("session_start").collect()
+    assert(u7.length == 2)
+    assert(u7(0).getAs[Long]("n_events") == 2L)
+    assert(u7(0).getAs[Timestamp]("session_end") == ts("2024-01-01 00:40:00"))
+    assert(u7(1).getAs[Long]("n_events") == 1L)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups keys inside the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:01:00"), 1, "click", 2.0), // dup key
+      Ev(3, ts("2024-01-01 00:02:00"), 2, "click", 3.0))
+    val out = run("dedup_out", StreamingOps.dedupStream(mem.toDF()))
+    assert(out.count() == 2)
+    assert(out.select("user_id").distinct().count() == 2)
+  }
+
+  test("checkpoint-resume: restarted query does not recount processed data") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF().groupBy("user_id").agg(count(lit(1)).as("n"))
+
+    mem.addData(Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0))
+    val q1 = agg.writeStream.format("memory").queryName("ckpt_out1")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.table("ckpt_out1").filter(col("user_id") === 1)
+      .head().getAs[Long]("n") == 1L)
+
+    // restart from the same checkpoint; add one more event
+    mem.addData(Ev(2, ts("2024-01-01 00:01:00"), 1, "click", 1.0))
+    val q2 = agg.writeStream.format("memory").queryName("ckpt_out2")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    q2.processAllAvailable(); q2.stop()
+    // state restored (1) + new event (1) = 2 — not 1, not 3
+    assert(spark.table("ckpt_out2").filter(col("user_id") === 1)
+      .head().getAs[Long]("n") == 2L)
+  }
+}
