@@ -6,14 +6,17 @@ import org.apache.spark.sql.functions._
 /** Deterministic, engine-portable hashing and sketch primitives for the
   * large-scale dedup operators (MinHash/LSH, SimHash, fingerprinting).
   *
-  * The core trick: a 32-bit unsigned hash derived from md5 —
-  * `conv(substr(md5(s), 1, 8), 16, 10)` in Spark equals
-  * `('0x' || substr(md5(s), 1, 8))::BIGINT` in DuckDB — so the whole
-  * MinHash→band→bucket-join pipeline is oracle-checkable end to end.
-  * Spark's builtin `hash()` (Murmur3) has no DuckDB twin, hence md5.
+  * Portability trick: md5 is the one hash both Spark and DuckDB compute
+  * identically (Spark's builtin `hash()` is Murmur3 with no DuckDB twin).
+  * md5 is also the expensive part, so the K independent MinHash functions
+  * come from ONE md5 per shingle via the Carter-Wegman construction
+  * h_k(x) = (a + k·b) mod 2^32, where a/b are the two 32-bit halves of
+  * md5(x) — the standard multi-hash trick in MinHash implementations.
+  * Spark `conv(substr(md5(s),p,8),16,10)` ≡ DuckDB
+  * `('0x'||substr(md5(s),p,8))::BIGINT` (verified bit-exact).
   *
   * Both the Spark Column trees and the DuckDB SQL strings are generated
-  * from the same constants below to prevent drift.
+  * from the same constants to prevent drift.
   */
 object HashFunctions {
 
@@ -24,39 +27,60 @@ object HashFunctions {
   /** Word-shingle width for MinHash/SimHash (3-word shingles — the harness
     * documents draw from a tiny vocabulary, so 1-grams would collide). */
   val ShingleN = 3
+  private val Mod32 = 4294967296L // 2^32
 
-  /** 32-bit unsigned md5-derived hash of a string column (seeded). */
+  /** 32-bit unsigned value from 8 hex chars of an md5 string column
+    * (1-based pos: 1 = high half, 9 = low half). */
+  def hexLong(h: Column, pos: Int): Column =
+    conv(substring(h, pos, 8), 16, 10).cast("long")
+
+  def hexLongSql(e: String, pos: Int): String =
+    s"('0x' || substr($e, $pos, 8))::BIGINT"
+
+  /** 32-bit unsigned md5-derived hash of a string column (seeded variant,
+    * kept for fingerprint-style uses). */
   def md5Int(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(c, lit("#" + seed))), 1, 8), 16, 10).cast("long")
+    hexLong(md5(concat(c, lit("#" + seed))), 1)
 
   def md5IntSql(e: String, seed: Int): String =
-    s"('0x' || substr(md5($e || '#$seed'), 1, 8))::BIGINT"
+    hexLongSql(s"md5($e || '#$seed')", 1)
 
   /** Unseeded variant (content fingerprint). */
-  def md5Int(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def md5Int(c: Column): Column = hexLong(md5(c), 1)
 
   /** Distinct 3-word shingles of a single-space-tokenized text.
-    * Spark `sequence`/`element_at` are 1-based like DuckDB list indexing. */
+    * Spark `sequence`/`element_at` are 1-based like DuckDB list indexing;
+    * the when-guard avoids sequence(1,0) emitting a DESCENDING range. */
   def shingles(toks: Column): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (ShingleN - 1), lit(0))),
-        i => concat_ws(" ",
-          element_at(toks, i),
-          element_at(toks, i + 1),
-          element_at(toks, i + 2))))
+    when(size(toks) >= ShingleN,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (ShingleN - 1)),
+          i => concat_ws(" ",
+            element_at(toks, i),
+            element_at(toks, i + 1),
+            element_at(toks, i + 2)))))
+      .otherwise(array().cast("array<string>"))
 
   /** DuckDB twin: range(1, n) is end-exclusive → 1..n-1. */
   def shinglesSql(toksExpr: String): String =
     s"list_distinct(list_transform(range(1, greatest(len($toksExpr) - ${ShingleN - 1}, 0) + 1), i -> $toksExpr[i] || ' ' || $toksExpr[i+1] || ' ' || $toksExpr[i+2]))"
 
-  /** MinHash signature value k over a shingle array. */
-  def minHash(sh: Column, k: Int): Column =
-    array_min(transform(sh, s => md5Int(s, k)))
+  /** One md5 per shingle, materialized once; every derived hash below
+    * parses halves of these strings instead of re-hashing. */
+  def md5List(sh: Column): Column = transform(sh, s => md5(s))
 
-  def minHashSql(shExpr: String, k: Int): String =
-    s"list_min(list_transform($shExpr, s -> ${md5IntSql("s", k)}))"
+  def md5ListSql(shExpr: String): String =
+    s"list_transform($shExpr, s -> md5(s))"
+
+  /** MinHash signature k over the md5 list: min over shingles of
+    * (a + k·b) mod 2^32. */
+  def minHash(lh: Column, k: Int): Column =
+    array_min(transform(lh, h =>
+      (hexLong(h, 1) + lit(k.toLong) * hexLong(h, 9)) % lit(Mod32)))
+
+  def minHashSql(lhExpr: String, k: Int): String =
+    s"list_min(list_transform($lhExpr, h -> ((${hexLongSql("h", 1)} + $k * ${hexLongSql("h", 9)}) % $Mod32)))"
 
   /** LSH band key b (0-based): md5 of the band's concatenated signature. */
   def bandKey(mh: Seq[Column], b: Int): Column =
@@ -66,29 +90,5 @@ object HashFunctions {
     val parts = mhExprs.slice(b * BandRows, (b + 1) * BandRows)
       .map(e => s"CAST($e AS VARCHAR)").mkString(" || ',' || ")
     s"md5($parts)"
-  }
-
-  /** 32-bit SimHash over a shingle array: bit j of the result is set iff
-    * the sum over shingles of ±1 (sign of hash bit j) is positive.
-    * Computed per-row with HOFs (no explode/shuffle): for each bit,
-    * popcount-style aggregate over the array. */
-  def simHash(sh: Column): Column = {
-    val bits = (0 until 32).map { j =>
-      val votes = aggregate(
-        sh,
-        lit(0L),
-        (acc, s) => acc + when(shiftright(md5Int(s, 999), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  /** DuckDB twin of [[simHash]] (generated from the same bit loop). */
-  def simHashSql(shExpr: String): String = {
-    val h = md5IntSql("s", 999)
-    val bits = (0 until 32).map { j =>
-      s"(CASE WHEN list_sum(list_transform($shExpr, s -> CASE WHEN (($h) >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
-    }
-    "(" + bits.mkString(" + ") + ")::BIGINT"
   }
 }

@@ -58,7 +58,7 @@ object MLPipelineOps {
         .select(col("vec_id"), col("label"),
           array_to_vector(col("embedding")).as("features"))
       val lsh = new BucketedRandomProjectionLSH()
-        .setBucketLength(0.5).setNumHashTables(4).setSeed(42)
+        .setBucketLength(0.5).setNumHashTables(2).setSeed(42)
         .setInputCol("features").setOutputCol("hashes")
       val model = lsh.fit(emb)
       val key = emb.filter(col("vec_id") === 0).head().getAs[org.apache.spark.ml.linalg.Vector]("features")

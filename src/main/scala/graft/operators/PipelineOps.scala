@@ -56,12 +56,14 @@ object PipelineOps {
   private val q46 = GraftQuery(
     "q46_ratcliff_fuzzy_pairs",
     (s, d) => {
+      // blocking key (brand, type) bounds the quadratic pair count —
+      // the same blocked-self-join shape as the reference's year band
       val p = t(s, d, "part")
-      val a = p.select(col("p_brand"), col("p_partkey").as("a_key"),
+      val a = p.select(col("p_brand"), col("p_type"), col("p_partkey").as("a_key"),
         col("p_name").as("a_name"))
-      val b = p.select(col("p_brand"), col("p_partkey").as("b_key"),
+      val b = p.select(col("p_brand"), col("p_type"), col("p_partkey").as("b_key"),
         col("p_name").as("b_name"))
-      a.join(b, Seq("p_brand"))
+      a.join(b, Seq("p_brand", "p_type"))
         .filter(col("a_key") < col("b_key"))
         .withColumn("ratio",
           round(string_ratio(lower(col("a_name")), lower(col("b_name"))), 6))
