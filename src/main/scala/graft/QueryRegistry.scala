@@ -20,7 +20,8 @@ object QueryRegistry {
       operators.DedupText.all ++
       operators.EventOps.all ++
       operators.MLPipelineOps.all ++
-      operators.PipelineOps.all
+      operators.PipelineOps.all ++
+      operators.SqlSurface.all
 
   lazy val byName: Map[String, GraftQuery] =
     queries.map(q => q.name -> q).toMap

@@ -122,5 +122,34 @@ object MLPipelineOps {
       CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 24 + 1 AS INT) AS n_frames
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q60, q61, q62, q63)
+  /** Partition-parallel batch decode — the Scala analog of a Pandas-UDF
+    * `mapInPandas` decode stage: binary payloads stream through
+    * mapPartitions in batches, a (stubbed, deterministic) codec emits
+    * typed metadata per payload plus its batch index. The plumbing that
+    * matters at 100 TB — binary column in, struct out, per-partition
+    * batching, no driver involvement — is real; only the codec is fake. */
+  private val q64 = GraftQuery(
+    "q64_multimodal_batch_decode",
+    (s, d) => {
+      import s.implicits._
+      val batchSize = 64
+      val src = t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      val decoded = src.mapPartitions { it =>
+        // STUB codec: no image/audio libs in this container — a real
+        // implementation decodes `batch` with the codec library here.
+        it.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
+          batch.map { case (id, payload) =>
+            val h = java.util.Arrays.hashCode(payload).toLong & 0xffffffffL
+            (id, payload.length, (h % 1280).toInt, (h % 720).toInt, bi)
+          }
+        }
+      }.toDF("doc_id", "n_bytes", "width", "height", "batch_idx")
+      decoded.orderBy(col("doc_id"))
+    },
+    None,
+    note = "mapPartitions batch-decode plumbing; codec stubbed (no libs)")
+
+  val all: Seq[GraftQuery] = Seq(q60, q61, q62, q63, q64)
 }

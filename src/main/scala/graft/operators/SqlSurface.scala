@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ANSI-SQL surface: queries submitted through `spark.sql` with the SAME
+  * SQL text serving as the DuckDB oracle — demonstrating that the engine's
+  * SQL front door (Catalyst's parser/analyzer, correlated subqueries,
+  * scalar subqueries) matches a reference SQL engine verbatim.
+  */
+object SqlSurface {
+
+  private def withViews(s: SparkSession, d: String)(sql: String): DataFrame = {
+    Seq("orders", "lineitem", "customer", "nation").foreach { n =>
+      t(s, d, n).createOrReplaceTempView(n)
+    }
+    s.sql(sql)
+  }
+
+  /** Correlated EXISTS subquery — planned as a left-semi join by Catalyst
+    * (the decorrelation rule), same shape as q05's explicit semi join. */
+  private val existsSql =
+    """SELECT o_orderpriority, count(*) AS cnt FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  private val q18 = GraftQuery(
+    "q18_exists_subquery",
+    (s, d) => withViews(s, d)(existsSql),
+    Some(existsSql))
+
+  /** Scalar subquery threshold (exact: max is order-independent). */
+  private val scalarSql =
+    """SELECT o_orderstatus, count(*) AS cnt FROM orders
+      WHERE o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  private val q19 = GraftQuery(
+    "q19_scalar_subquery",
+    (s, d) => withViews(s, d)(scalarSql),
+    Some(scalarSql))
+
+  val all: Seq[GraftQuery] = Seq(q18, q19)
+}

@@ -190,5 +190,45 @@ object VectorSearch {
       SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank, vec_id, label
       FROM s ORDER BY score DESC, vec_id LIMIT 10"""))
 
-  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25)
+  /** IVF-style ANN — the scale path for 100 TB similarity search: build
+    * per-cluster centroids (labels play the coarse quantizer's cell role),
+    * rank clusters against the query vector, probe only the top-`nprobe`
+    * cells, exact-rescore inside them. Cuts the scored set from N to
+    * N·nprobe/cells, the same contract as the reference's ANN
+    * `numCandidates` cap (ai_service.py:68). Float centroid averaging has
+    * no stable cross-engine twin → rows-only; recall vs exact top-k is
+    * asserted in VectorSearchSpec. */
+  private val q26 = GraftQuery(
+    "q26_ivf_ann_topk",
+    (s, d) => {
+      // synthetic labels are weak quantizer cells (near-random vectors),
+      // so half the cells are probed; real IVF cells come from k-means
+      // and probe far fewer
+      val nprobe = 5
+      val k = 10
+      val emb = t(s, d, "embeddings")
+      // centroids: elementwise mean per label via posexplode + re-assembly
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+        .select(col("label").as("c_label"),
+          transform(col("pcs"), p => p.getField("cv").cast("float")).as("centroid"))
+      val q = queryVec(s, d, 0)
+      val probed = cent.crossJoin(broadcast(q))
+        .withColumn("cscore", cosine(col("centroid"), col("qvec")))
+        .orderBy(col("cscore").desc, col("c_label"))
+        .limit(nprobe)
+        .select(col("c_label"))
+      val scored = emb
+        .join(broadcast(probed), col("label") === col("c_label"))
+        .crossJoin(broadcast(q))
+        .withColumn("score", cosine(col("embedding"), col("qvec")))
+      ranked(scored, k, "vec_id").select(col("rank"), col("vec_id"), col("label"))
+    },
+    None,
+    note = "IVF cluster-probed ANN; float centroids have no stable SQL twin")
+
+  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26)
 }

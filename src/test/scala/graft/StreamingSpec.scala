@@ -71,6 +71,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("user_id").distinct().count() == 2)
   }
 
+  test("foreachBatch curation loop: parse+dedup+merge across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_curation").toString
+    val corpusDir = s"$dir/corpus"
+    val mem = MemoryStream[String]
+    // batch 1: two movies
+    mem.addData(
+      "TITLE: The Bicycle Thief\nYEAR: 1948\nGENRES: Drama\nPLOT: a",
+      "TITLE: Stalker\nYEAR: 1979\nGENRES: SciFi\nPLOT: b")
+    val q1 = graft.streaming.StreamingCuration.start(
+      mem.toDF().withColumnRenamed("value", "raw"), corpusDir, s"$dir/ckpt")
+    q1.awaitTermination()
+    assert(spark.read.parquet(corpusDir).count() == 2)
+    // batch 2: one exact dup, one fuzzy dup (±1 year), one new
+    mem.addData(
+      "TITLE: the bicycle thief\nYEAR: 1948\nGENRES: Drama\nPLOT: dup",
+      "TITLE: The Bicycle Thieves\nYEAR: 1949\nGENRES: Drama\nPLOT: fuzzy dup",
+      "TITLE: Heat\nYEAR: 1995\nGENRES: Crime\nPLOT: new")
+    val q2 = graft.streaming.StreamingCuration.start(
+      mem.toDF().withColumnRenamed("value", "raw"), corpusDir, s"$dir/ckpt")
+    q2.awaitTermination()
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.count() == 3) // both dups rejected, Heat added
+    assert(corpus.select("title").as[String].collect().toSet ==
+      Set("The Bicycle Thief", "Stalker", "Heat"))
+  }
+
   test("checkpoint-resume: restarted query does not recount processed data") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
