@@ -359,6 +359,22 @@ object Relational {
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY s_name ORDER BY s_name"""))
 
+  /** Paged scan — the reference's find().skip(m).limit(n) (SURVEY S1,
+    * backend/database.py:49-54), deterministic via explicit total order. */
+  private val q27 = GraftQuery(
+    "q27_scan_pagination",
+    (s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          dec(col("o_totalprice")).cast("double").as("price"))
+        .orderBy(col("o_orderkey"))
+        .offset(100)
+        .limit(20)
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100"""))
+
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q17)
+    q09, q10, q11, q12, q13, q14, q15, q16, q17, q27)
 }

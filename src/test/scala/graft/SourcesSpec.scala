@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source-format coverage beyond the harness parquet (SURVEY S6: the
+  * reference reads its user profile from a local JSON file,
+  * /root/reference/backend/search.py:64-74; fixture per FIXTURES.md §2.5).
+  * Writes temp files — never touches /root/testdata. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multiLine JSON profile source (S6) with nested arrays") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json")
+    val f = dir.resolve("sample_profile.json")
+    java.nio.file.Files.writeString(f,
+      """{"reviews": [{"movieTitle": "Stalker", "rating": 5, "text": "..."}],
+         |"watched_movies": ["Stalker", "The Bicycle Thief"],
+         |"liked_movies": ["Stalker"],
+         |"favorite_genres": ["Drama", "Sci-Fi"]}""".stripMargin)
+    val profile = spark.read.option("multiLine", true).json(f.toString)
+    assert(profile.count() == 1)
+    val row = profile.head()
+    assert(row.getAs[scala.collection.Seq[String]]("watched_movies").length == 2)
+    // the exclusion pattern (movie_generator.py:201-204): watched movies
+    // broadcast-anti-joined against a candidate list
+    val watched = profile.select(explode(col("watched_movies")).as("title"))
+    val candidates = Seq("Stalker", "Heat", "The Bicycle Thief", "Alien")
+      .toDF("title")
+    val fresh = candidates.join(broadcast(watched), Seq("title"), "left_anti")
+    assert(fresh.as[String].collect().toSet == Set("Heat", "Alien"))
+  }
+
+  test("CSV source round-trip with schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("movies.csv")
+    java.nio.file.Files.writeString(f,
+      "title,year\nThe Bicycle Thief,1948\nStalker,1979\n")
+    val df = spark.read.option("header", true)
+      .schema("title STRING, year INT").csv(f.toString)
+    assert(df.count() == 2)
+    assert(df.filter(col("year") === 1948).head().getAs[String]("title") ==
+      "The Bicycle Thief")
+  }
+
+  test("partitioned parquet write + partition-pruned read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.t(spark, sf, "documents")
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("lang") === "en")
+    // partition pruning: only the lang=en directory is scanned
+    val scan = back.queryExecution.executedPlan.toString
+    assert(back.count() > 0)
+    assert(back.select("doc_id").distinct().count() == back.count())
+  }
+}
