@@ -73,6 +73,26 @@ object HashFunctions {
   def md5ListSql(shExpr: String): String =
     s"list_transform($shExpr, s -> md5(s))"
 
+  /** Packed 62-bit shingle hashes: (a mod 2^30)·2^32 + b, where a/b are
+    * the md5 halves. One long per shingle — the form worth materializing
+    * in a staged sketch pipeline (8 bytes vs a ~30-char shingle string),
+    * carrying both the set-identity (jaccard over longs) and the
+    * Carter-Wegman inputs (a' = h >> 32, b = h & 0xffffffff). */
+  def packedHashes(sh: Column): Column =
+    transform(md5List(sh), h =>
+      (hexLong(h, 1) % lit(1073741824L)) * lit(Mod32) + hexLong(h, 9))
+
+  def packedHashesSql(shExpr: String): String =
+    s"list_transform(${md5ListSql(shExpr)}, h -> ((${hexLongSql("h", 1)} % 1073741824) * $Mod32 + ${hexLongSql("h", 9)}))"
+
+  /** MinHash signature k over packed hashes: min of (a' + k·b) mod 2^32. */
+  def minHashPacked(hs: Column, k: Int): Column =
+    array_min(transform(hs, x =>
+      (shiftrightunsigned(x, 32) + lit(k.toLong) * x.bitwiseAND(lit(4294967295L))) % lit(Mod32)))
+
+  def minHashPackedSql(hsExpr: String, k: Int): String =
+    s"list_min(list_transform($hsExpr, x -> (((x >> 32) + $k * (x & 4294967295)) % $Mod32)))"
+
   /** MinHash signature k over the md5 list: min over shingles of
     * (a + k·b) mod 2^32. */
   def minHash(lh: Column, k: Int): Column =

@@ -23,8 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object DedupText {
 
+  /** Shingle sets, spread across all cores: the harness documents arrive
+    * as one small parquet split, which would run every downstream sketch
+    * kernel single-threaded — at 100 TB the scan itself yields thousands
+    * of splits and this repartition is a no-op by comparison. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(tokens(col("text"))).as("sg"))
 
   private val shSqlCte =
@@ -126,19 +131,19 @@ object DedupText {
   private val q34 = GraftQuery(
     "q34_minhash_lsh_pairs",
     (s, d) => {
-      // Stage 1: shingle sets, materialized — every downstream stage (the
-      // two jaccard probe sides and the signature build) reuses it instead
-      // of re-deriving the shingle expression; with the full expression
-      // inlined on both self-join sides, codegen+recompute cost dominated
-      // the query (measured 18.5s → 3.4s at sf0.1). localCheckpoint is the
-      // local-mode analog of staging the signature table to storage, which
-      // is how this pipeline runs at 100 TB.
-      val base = docShingles(s, d).localCheckpoint()
-      // one md5 per shingle, materialized; the 12 signatures are cheap
-      // (a + k·b) arithmetic over its halves (HashFunctions scaladoc)
-      val withLh = base.withColumn("lh", md5List(col("sg")))
-      val mhCols = (0 until NumHashes).map(k => minHash(col("lh"), k).as(s"mh$k"))
-      val mh = withLh.select(col("doc_id") +: mhCols: _*)
+      // Stage 1: packed 62-bit shingle hashes, materialized — one long per
+      // shingle instead of the shingle string, so the staged table is ~8
+      // bytes/shingle and every downstream stage (signatures, jaccard
+      // verify on both sides) reuses it without re-deriving the expression.
+      // Inlining the full chain on both self-join sides made codegen +
+      // recompute dominate (18.5s → 3.4s at sf0.1); string-array staging
+      // still paid ~6s of serialization. localCheckpoint is the local-mode
+      // analog of staging the signature table to storage at 100 TB.
+      val base = docShingles(s, d)
+        .select(col("doc_id"), packedHashes(col("sg")).as("hs"))
+        .localCheckpoint()
+      val mhCols = (0 until NumHashes).map(k => minHashPacked(col("hs"), k).as(s"mh$k"))
+      val mh = base.select(col("doc_id") +: mhCols: _*)
       val bandStructs = (0 until NumBands).map { b =>
         struct(lit(b).as("band"),
           bandKey((0 until NumHashes).map(k => col(s"mh$k")), b).as("bkey"))
@@ -154,32 +159,32 @@ object DedupText {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      val sa = base.select(col("doc_id").as("a_id"), col("sg").as("sga"))
-      val sb = base.select(col("doc_id").as("b_id"), col("sg").as("sgb"))
+      val sa = base.select(col("doc_id").as("a_id"), col("hs").as("hsa"))
+      val sb = base.select(col("doc_id").as("b_id"), col("hs").as("hsb"))
       cand.join(sa, "a_id").join(sb, "b_id")
         .select(col("a_id"), col("b_id"),
-          round(size(array_intersect(col("sga"), col("sgb"))).cast("double") /
-            size(array_union(col("sga"), col("sgb"))), 6).as("jaccard"))
+          round(size(array_intersect(col("hsa"), col("hsb"))).cast("double") /
+            size(array_union(col("hsa"), col("hsb"))), 6).as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
     },
     Some {
-      val mhExprs = (0 until NumHashes).map(k => minHashSql("lh", k))
+      val mhExprs = (0 until NumHashes).map(k => minHashPackedSql("hs", k))
       val mhSelect = mhExprs.zipWithIndex
         .map { case (e, k) => s"$e AS mh$k" }.mkString(", ")
       val bandSelects = (0 until NumBands).map { b =>
         s"SELECT doc_id, $b AS band, ${bandKeySql((0 until NumHashes).map(k => s"mh$k"), b)} AS bkey FROM mh"
       }.mkString(" UNION ALL ")
       s"""WITH $shSqlCte,
-      lhs AS (SELECT doc_id, ${md5ListSql("sg")} AS lh FROM sh),
-      mh AS (SELECT doc_id, $mhSelect FROM lhs),
+      hss AS (SELECT doc_id, ${packedHashesSql("sg")} AS hs FROM sh),
+      mh AS (SELECT doc_id, $mhSelect FROM hss),
       bands AS ($bandSelects),
       cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                FROM bands x JOIN bands y
                  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
       SELECT a_id, b_id,
-        round(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
-              / len(list_distinct(list_concat(sa.sg, sb.sg))), 6) AS jaccard
-      FROM cand JOIN sh sa ON a_id = sa.doc_id JOIN sh sb ON b_id = sb.doc_id
+        round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
+      FROM cand JOIN hss sa ON a_id = sa.doc_id JOIN hss sb ON b_id = sb.doc_id
       ORDER BY a_id, b_id"""
     })
 
@@ -273,8 +278,11 @@ object DedupText {
     "q38_fuzzy_name_pairs",
     (s, d) => {
       val c = t(s, d, "customer")
-      val a = c.select(col("c_nationkey").as("nk"),
-        col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+      // single-split input would run the 4.5M-pair levenshtein scan on one
+      // thread (measured 8.9s -> sub-second with 32-way parallelism)
+      val a = c.repartition(s.sparkContext.defaultParallelism)
+        .select(col("c_nationkey").as("nk"),
+          col("c_custkey").as("a_key"), col("c_name").as("a_name"))
       val b = c.select(col("c_nationkey").as("nk"),
         col("c_custkey").as("b_key"), col("c_name").as("b_name"))
       a.join(b, Seq("nk"))

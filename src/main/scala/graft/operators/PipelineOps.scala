@@ -59,7 +59,9 @@ object PipelineOps {
       // blocking key (brand, type) bounds the quadratic pair count —
       // the same blocked-self-join shape as the reference's year band
       val p = t(s, d, "part")
-      val a = p.select(col("p_brand"), col("p_type"), col("p_partkey").as("a_key"),
+      // spread the quadratic ratio scan across cores (single-split input)
+      val a = p.repartition(s.sparkContext.defaultParallelism)
+        .select(col("p_brand"), col("p_type"), col("p_partkey").as("a_key"),
         col("p_name").as("a_name"))
       val b = p.select(col("p_brand"), col("p_type"), col("p_partkey").as("b_key"),
         col("p_name").as("b_name"))
