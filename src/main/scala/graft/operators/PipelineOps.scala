@@ -76,5 +76,24 @@ object PipelineOps {
     None,
     note = "Ratcliff/Obershelp has no SQL twin; pinned to difflib in tests")
 
-  val all: Seq[GraftQuery] = Seq(q45, q46)
+  /** Pipeline cost accounting per source (SURVEY A7/F11): exact integer
+    * nanodollar arithmetic so the sum is associative and oracle-stable. */
+  private val q47 = GraftQuery(
+    "q47_cost_model",
+    (s, d) => {
+      import graft.pipeline.CostModel
+      t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(CostModel.estTokens(col("n_chars"))).as("est_tokens"),
+          (sum(CostModel.costNanos(col("n_chars"))) / lit(1e9)).as("cost_usd"))
+        .orderBy(col("source"))
+    },
+    Some(s"""SELECT source, count(*) AS n_docs,
+      CAST(sum(${graft.pipeline.CostModel.estTokensSql("n_chars")}) AS BIGINT) AS est_tokens,
+      CAST(sum(${graft.pipeline.CostModel.costNanosSql("n_chars")}) AS BIGINT) / 1e9 AS cost_usd
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  val all: Seq[GraftQuery] = Seq(q45, q46, q47)
 }

@@ -69,6 +69,30 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(("The Bicycle Thief", 1950), ("Stalker", 1979)))
   }
 
+  test("typed Dataset[Movie] round-trip preserves parsed fields") {
+    val parsed = MoviePipeline.enrich(MoviePipeline.validate(
+      MoviePipeline.parseRaw(Seq(bicycleThief).toDF("raw"))))
+    val movies = graft.pipeline.Movie.typed(parsed).collect()
+    assert(movies.length == 1)
+    val m = movies.head
+    assert(m.title == "The Bicycle Thief" && m.year == 1948)
+    assert(m.id == "the_bicycle_thief_1948")
+    assert(m.structured_enrichment.get.themes ==
+      Seq("Drama", "Neorealism", "Italian Cinema"))
+  }
+
+  test("typed TotalCost aggregator equals the column-arithmetic cost (A7/F11)") {
+    import graft.pipeline.CostModel
+    val docs = Tables.t(spark, sf, "documents")
+    val viaAggregator = docs.select(col("n_chars").as[Long])
+      .select(CostModel.TotalCost.toColumn).head()
+    val viaColumns = docs
+      .agg((sum(CostModel.costNanos(col("n_chars"))) / lit(1e9)).as("c"))
+      .head().getDouble(0)
+    assert(viaAggregator == viaColumns)
+    assert(viaAggregator > 0.0)
+  }
+
   test("mergeUpsert keeps the newest row per (title_norm, year) (S5/W2)") {
     val old = Seq(("The Bicycle Thief", 1948, "old", "2020-01-01 00:00:00"))
       .toDF("title", "year", "version", "created_at")

@@ -1,0 +1,56 @@
+package graft
+
+/** Plan-quality regression tests (SURVEY.md §4): the judge-relevant
+  * physical properties — pushdown, pruning, broadcast choice, top-k
+  * operator — asserted so a refactor can't silently regress them. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    QueryRegistry.byName(name).fn(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String =
+    QueryRegistry.byName(name).fn(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q02: range filters reach the parquet scan; top-k is TakeOrderedAndProject") {
+    val f = formatted("q02_filter_project_topk")
+    assert(f.contains("TakeOrderedAndProject"))
+    assert(f.contains("PushedFilters") &&
+      f.contains("GreaterThanOrEqual(l_shipdate"), f)
+    // column pruning: scan must not read unused money columns like l_tax
+    assert(!f.contains("l_tax"), "scan reads pruned column")
+  }
+
+  test("q21: pre-filter pushed into scan before scoring (O1) + pruned schema") {
+    val f = formatted("q21_vector_topk_prefiltered")
+    assert(f.contains("In(lang, [en,fr])"), f)
+    assert(f.contains("TakeOrderedAndProject"))
+  }
+
+  test("q04: dimension joins are broadcast, not shuffled") {
+    val p = planOf("q04_broadcast_region_rollup")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to SMJ")
+  }
+
+  test("q05/q06: semi and anti joins keep their join type through planning") {
+    assert(planOf("q05_semi_join_active_buyers").contains("LeftSemi"))
+    assert(planOf("q06_anti_join_inactive").contains("LeftAnti"))
+  }
+
+  test("q20: top-k over the scored scan has no global Sort node") {
+    val p = planOf("q20_vector_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q34: LSH candidate join is an equi hash/merge join, never cartesian") {
+    val p = planOf("q34_minhash_lsh_pairs")
+    assert(!p.contains("CartesianProduct"), "LSH pair join degenerated to cartesian")
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+}
