@@ -116,5 +116,50 @@ object EventOps {
         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
       FROM events) WHERE rn = 1 ORDER BY user_id, event_type"""))
 
-  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44)
+  /** Group-collect with deterministic ordering — the reference's
+    * genre → [movies] grouping (SURVEY A1, backend/routes.py:116-121).
+    * The collected list is sorted and emitted as one string: array-valued
+    * outputs hash differently across engines (element order), strings
+    * don't. */
+  private val q48 = GraftQuery(
+    "q48_group_collect_sorted",
+    (s, d) => {
+      t(s, d, "events")
+        .filter(col("user_id") < 10)
+        .groupBy(col("user_id"))
+        .agg(
+          concat_ws(",",
+            array_sort(collect_set(col("event_type")))).as("types_seen"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+      array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_seen,
+      count(*) AS n
+      FROM events WHERE user_id < 10 GROUP BY user_id ORDER BY user_id"""))
+
+  /** Trailing-N exclusion — the reference's "exclude the last 100 seen
+    * movies from the prompt" (SURVEY W3, movie_generator.py:242): the
+    * most recent 100 events form an exclusion set, anti-joined against
+    * the candidate pool. */
+  private val q49 = GraftQuery(
+    "q49_trailing_exclusion",
+    (s, d) => {
+      val recent = t(s, d, "events")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(100)
+        .select(col("event_id"))
+      t(s, d, "events")
+        .join(broadcast(recent), Seq("event_id"), "left_anti")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_outside_recent"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH recent AS (
+        SELECT event_id FROM events ORDER BY ts DESC, event_id DESC LIMIT 100)
+      SELECT event_type, count(*) AS n_outside_recent
+      FROM events WHERE event_id NOT IN (SELECT event_id FROM recent)
+      GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q48, q49)
 }

@@ -57,4 +57,35 @@ object StreamingOps {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Custom per-key state via flatMapGroupsWithState (SURVEY §2.11) — the
+    * arbitrary-state surface the built-in windows can't express: per user,
+    * a running event counter plus a "milestone" record emitted each time
+    * the count crosses a multiple of `every`. State is one Long per user
+    * (bounded by the key cardinality, not the stream length). */
+  def milestones(events: org.apache.spark.sql.Dataset[UserEvent],
+                 every: Long = 3): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[Long]) => {
+          var count = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer[Milestone]()
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            count += 1
+            if (count % every == 0)
+              out += Milestone(userId, count, e.event_id)
+          }
+          state.update(count)
+          out.iterator
+        })
+      .toDF()
+  }
 }
+
+case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                     event_type: String, value: Double)
+case class Milestone(user_id: Long, milestone: Long, at_event_id: Long)

@@ -71,6 +71,50 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("user_id").distinct().count() == 2)
   }
 
+  test("late data: events older than the watermark are dropped from closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val stream = graft.streaming.StreamingOps.tumblingCounts(
+      mem.toDF(), watermark = "10 minutes")
+    val q = stream.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    mem.addData(Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // advance watermark far past hour 0 (event time 03:00 - 10min > 01:00)
+    mem.addData(Ev(2, ts("2024-01-01 03:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // LATE: belongs to the already-closed hour-0 window
+    mem.addData(Ev(3, ts("2024-01-01 00:20:00"), 1, "click", 99.0))
+    q.processAllAvailable()
+    // push another window closed so hour-0 output is final
+    mem.addData(Ev(4, ts("2024-01-01 06:00:00"), 1, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val h0 = spark.table("late_out")
+      .filter(col("w_start") === ts("2024-01-01 00:00:00")).collect()
+    assert(h0.length == 1)
+    assert(h0(0).getAs[Long]("n") == 1L, "late event leaked into closed window")
+  }
+
+  test("flatMapGroupsWithState emits per-user milestones with custom state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.UserEvent
+    val mem = MemoryStream[UserEvent]
+    val q = graft.streaming.StreamingOps.milestones(mem.toDS(), every = 2)
+      .writeStream.format("memory").queryName("milestone_out")
+      .outputMode("append").start()
+    mem.addData(
+      UserEvent(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+      UserEvent(2, ts("2024-01-01 00:01:00"), 7, "click", 1.0),
+      UserEvent(3, ts("2024-01-01 00:02:00"), 7, "click", 1.0))
+    q.processAllAvailable()
+    // state (count=3) persists across micro-batches: next event is #4 → milestone
+    mem.addData(UserEvent(4, ts("2024-01-01 00:03:00"), 7, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val ms = spark.table("milestone_out").orderBy("milestone").collect()
+    assert(ms.map(_.getAs[Long]("milestone")).toSeq == Seq(2L, 4L))
+    assert(ms.last.getAs[Long]("at_event_id") == 4L)
+  }
+
   test("foreachBatch curation loop: parse+dedup+merge across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_curation").toString
