@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.ScaleTechniques
+import org.apache.spark.sql.functions._
+
+/** Scale-technique semantics + plan assertions: salting preserves results
+  * while spreading hot keys; bucketing removes the join shuffle. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic skewed frame: key 0 owns ~90% of rows
+  private lazy val skewed = spark.range(0, 20000)
+    .select(
+      when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 97).as("k"),
+      (col("id") % 1000).cast("double").as("v"))
+
+  test("salted aggregation equals direct groupBy on a skewed key") {
+    val direct = skewed.groupBy("k")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"))
+      .orderBy("k").collect()
+    val salted = ScaleTechniques.saltedSumCount(skewed, "k", "v")
+      .orderBy("k").collect()
+    assert(direct.length == salted.length)
+    direct.zip(salted).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getDouble(1) == b.getDouble(1), s"key ${a.getLong(0)}")
+      assert(a.getLong(2) == b.getLong(2))
+    }
+  }
+
+  test("salted join equals plain join on a skewed fact key") {
+    val dim = (0L until 97L).map(k => (k, s"name_$k")).toDF("k", "k_name")
+    val plain = skewed.join(dim, Seq("k")).groupBy("k_name")
+      .agg(count(lit(1)).as("n")).orderBy("k_name").collect()
+    val salted = ScaleTechniques.saltedJoin(skewed, dim, "k")
+      .groupBy("k_name").agg(count(lit(1)).as("n")).orderBy("k_name").collect()
+    assert(plain.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      salted.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val o = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val l = Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    ScaleTechniques.writeBucketed(o, "b_orders", "o_orderkey")
+    ScaleTechniques.writeBucketed(
+      l.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"), "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    // and it is still correct
+    assert(joined.count() ==
+      Tables.t(spark, sf, "lineitem").join(Tables.t(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count())
+  }
+}
