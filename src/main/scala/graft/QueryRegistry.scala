@@ -21,7 +21,8 @@ object QueryRegistry {
       operators.EventOps.all ++
       operators.MLPipelineOps.all ++
       operators.PipelineOps.all ++
-      operators.SqlSurface.all
+      operators.SqlSurface.all ++
+      operators.SearchService.all
 
   lazy val byName: Map[String, GraftQuery] =
     queries.map(q => q.name -> q).toMap

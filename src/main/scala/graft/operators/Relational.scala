@@ -375,6 +375,49 @@ object Relational {
       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
       FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100"""))
 
+  /** Full CUBE grouping sets over two dimensions (SURVEY §2.4 note). */
+  private val q51 = GraftQuery(
+    "q51_cube_counts",
+    (s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("cnt"), col("sum_price"))
+        .orderBy(col("status"), col("priority"))
+    },
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      coalesce(o_orderpriority, 'ALL') AS priority,
+      count(*) AS cnt,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""))
+
+  /** Value-range window frame (SURVEY §2.5 frame specs): per-status sum of
+    * all orders within $10,000 below the current order's price. */
+  private val q52 = GraftQuery(
+    "q52_range_frame_window",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-10000L, Window.currentRow)
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 50)
+        .withColumn("near_sum", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          dec(col("o_totalprice")).cast("double").as("price"), col("near_sum"))
+        .orderBy(col("o_orderstatus"), col("price"), col("o_orderkey"))
+    },
+    Some("""SELECT o_orderstatus, o_orderkey,
+      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_orderstatus ORDER BY o_totalprice
+        RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+      FROM orders WHERE o_custkey < 50
+      ORDER BY o_orderstatus, price, o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q17, q27)
+    q09, q10, q11, q12, q13, q14, q15, q16, q17, q27, q51, q52)
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.Tables._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship API, as one library call: POST /api/search
+  * end to end (/root/reference/backend/search.py:15-44 + routes.py:13-31).
+  *
+  * Semantics preserved step by step:
+  *  - limit clamp to [1, 100] (search.py:16, config.py:25-26 — SURVEY P7)
+  *  - metadata pre-filter BEFORE scoring (search.py:18-20 → pushed into
+  *    the scan, SURVEY P1/O1)
+  *  - query embedding: here a corpus vector stands in for the embedded
+  *    query text (ai_service.py:23-42 is a network call — out of scope)
+  *  - overscan 3× then exact re-rank (search.py:38-40 — SURVEY T3/O4)
+  *  - result projection with defaults (search.py:46-62 — SURVEY P2)
+  */
+object SearchService {
+
+  def search(spark: SparkSession, dir: String, queryVecId: Long,
+             limit: Int = 20, langs: Seq[String] = Seq("en", "fr")): DataFrame = {
+    val k = math.max(1, math.min(limit, 100)) // P7 clamp
+    val qv = t(spark, dir, "embeddings")
+      .filter(col("vec_id") === queryVecId).select(col("embedding").as("qvec"))
+    val filtered = t(spark, dir, "documents")
+      .filter(col("lang").isin(langs: _*)) // P1 — lands in the parquet scan
+      .join(t(spark, dir, "embeddings"), col("doc_id") === col("vec_id"))
+    val overscan = filtered
+      .crossJoin(broadcast(qv))
+      .withColumn("coarse", dotProduct(col("embedding"), col("qvec")))
+      .orderBy(col("coarse").desc, col("doc_id"))
+      .limit(3 * k) // T3 overscan
+    val reranked = overscan
+      .withColumn("score", cosine(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    reranked
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select( // P2 projection with defaults
+        col("rank"), col("doc_id"),
+        coalesce(col("lang"), lit("unknown")).as("lang"),
+        coalesce(col("source"), lit("unknown")).as("source"),
+        substring(col("text"), 1, 50).as("snippet"))
+  }
+
+  /** The API surface as a registry query: requested limit 500 → clamped
+    * to 100 (the FIXTURES §2.3 clamp fixture, at query level). */
+  private val q29 = GraftQuery(
+    "q29_search_api_clamped",
+    (s, d) => search(s, d, queryVecId = 0, limit = 500),
+    Some("""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      f AS (SELECT doc_id, lang, source, text, embedding
+            FROM documents JOIN embeddings ON doc_id = vec_id
+            WHERE lang IN ('en', 'fr')),
+      o AS (SELECT *, list_dot_product(embedding, qvec) AS coarse FROM f, q
+            ORDER BY coarse DESC, doc_id LIMIT 300),
+      r AS (SELECT doc_id, lang, source, text,
+              list_cosine_similarity(embedding, qvec) AS score FROM o
+            ORDER BY score DESC, doc_id LIMIT 100)
+      SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id,
+        coalesce(lang, 'unknown') AS lang, coalesce(source, 'unknown') AS source,
+        substr(text, 1, 50) AS snippet
+      FROM r ORDER BY score DESC, doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q29)
+}

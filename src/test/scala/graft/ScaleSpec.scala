@@ -39,6 +39,17 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle exchange") {
+    // stale locations survive across JVMs (in-memory catalog, on-disk dir)
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     val o = Tables.t(spark, sf, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val l = Tables.t(spark, sf, "lineitem")
