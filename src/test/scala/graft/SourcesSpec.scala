@@ -42,6 +42,37 @@ class SourcesSpec extends SparkSpec {
       "The Bicycle Thief")
   }
 
+  test("schema assertions on the vector tables (S8 analog: the reference's index probe)") {
+    // the reference probes its vector index before serving
+    // (backend/database.py:28-47); with no external index the engine's
+    // equivalent is asserting the embedding table's shape at startup
+    import org.apache.spark.sql.types._
+    val emb = Tables.t(spark, sf, "embeddings").schema
+    assert(emb("vec_id").dataType == LongType)
+    assert(emb("embedding").dataType == ArrayType(FloatType))
+    assert(emb("label").dataType == IntegerType)
+    val ev = Tables.t(spark, sf, "events").schema
+    assert(ev("ts").dataType == TimestampType) // nanos loader normalized
+    // fixed dimensionality across the table (config.py:15,20 analog)
+    val dims = Tables.t(spark, sf, "embeddings")
+      .select(size(col("embedding"))).distinct().collect()
+    assert(dims.length == 1)
+  }
+
+  test("deterministic seeded choice (G2: the reference's random.choice hints)") {
+    // seeded/deterministic replacement for random.choice over a literal
+    // category list (movie_generator.py:256-268): stable across runs
+    val cats = array(Seq("classic", "modern", "indie", "foreign").map(lit): _*)
+    val pick = element_at(cats,
+      (pmod(hash(col("doc_id")), size(cats)) + 1).cast("int"))
+    val a = Tables.t(spark, sf, "documents").select(col("doc_id"), pick.as("hint"))
+      .orderBy("doc_id").collect()
+    val b = Tables.t(spark, sf, "documents").select(col("doc_id"), pick.as("hint"))
+      .orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq) // same plan, same result — no RNG state
+    assert(a.map(_.getString(1)).toSet.size > 1) // spreads over categories
+  }
+
   test("partitioned parquet write + partition-pruned read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.t(spark, sf, "documents")
