@@ -161,5 +161,57 @@ object EventOps {
       FROM events WHERE event_id NOT IN (SELECT event_id FROM recent)
       GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q48, q49)
+  /** As-of (point-in-time) correlation: for every purchase, the most
+    * recent prior click by the same user. Expressed as a per-user ordered
+    * window carrying the last non-null click id — one shuffle on the user
+    * key, no range-join blowup; the canonical as-of shape without a
+    * custom SparkStrategy (guide's preference order: compose built-ins
+    * first). */
+    private val q53 = GraftQuery(
+    "q53_asof_prior_click",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      t(s, d, "events")
+        .withColumn("prior_click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        // null-free output: a null column round-trips as NaN/NA
+        // inconsistently across engines' client layers
+        .select(col("event_id"), col("user_id"), ftsu(col("ts")).as("ts_s"),
+          coalesce(col("prior_click_id"), lit(-1L)).as("prior_click_id"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, ts_s, coalesce(prior_click_id, -1) AS prior_click_id FROM (
+      SELECT event_id, user_id, event_type,
+        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click_id
+      FROM events) WHERE event_type = 'purchase' ORDER BY event_id"""))
+
+  /** Pivot — event-type counts as columns per user (explicit value list
+    * for determinism; oracle uses the equivalent CASE-sum columns). */
+  private val q54 = GraftQuery(
+    "q54_pivot_event_counts",
+    (s, d) => {
+      t(s, d, "events")
+        .filter(col("user_id") < 20)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+      sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+      sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+      FROM events WHERE user_id < 20 GROUP BY user_id ORDER BY user_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q48, q49, q53, q54)
 }
