@@ -148,11 +148,12 @@ object DedupText {
         struct(lit(b).as("band"),
           bandKey((0 until NumHashes).map(k => col(s"mh$k")), b).as("bkey"))
       }
-      // Stage 2: band signatures, materialized for the self-join
+      // Band signatures are cheap arithmetic over the staged hashes —
+      // recomputing them on each self-join side beats a second
+      // materialization (measured at sf0.1)
       val bands = mh
         .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-        .localCheckpoint()
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
