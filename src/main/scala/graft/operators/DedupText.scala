@@ -56,9 +56,9 @@ object DedupText {
       t(s, d, "documents")
         .select(
           col("doc_id"),
-          size(toks).as("n_tokens"),
-          size(array_distinct(toks)).as("n_distinct"),
-          length(col("text")).as("n_chars_m"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          length(col("text")).cast("long").as("n_chars_m"),
           round(size(array_distinct(toks)).cast("double") / size(toks), 6)
             .as("uniq_ratio"))
         .orderBy(col("doc_id"))
@@ -291,7 +291,7 @@ object DedupText {
         // thresholded levenshtein: banded O(k·n) DP with early exit,
         // returns -1 above the bound — exact value otherwise, so the
         // ≤2 semantics match the oracle's full-DP filter
-        .withColumn("lev", levenshtein(col("a_name"), col("b_name"), 2))
+        .withColumn("lev", levenshtein(col("a_name"), col("b_name"), 2).cast("long"))
         .filter(col("lev") >= 0)
         .select(col("nk"), col("a_key"), col("b_key"), col("lev"),
           round(lit(1.0) - col("lev").cast("double") /

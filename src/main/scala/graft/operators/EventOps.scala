@@ -91,7 +91,7 @@ object EventOps {
         .orderBy(col("event_type"))
     },
     Some("""SELECT event_type, count(*) AS n,
-      sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
@@ -206,11 +206,11 @@ object EventOps {
         .orderBy(col("user_id"))
     },
     Some("""SELECT user_id,
-      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-      sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-      sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+      CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
       FROM events WHERE user_id < 20 GROUP BY user_id ORDER BY user_id"""))
 
   val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q48, q49, q53, q54)

@@ -80,9 +80,9 @@ object MLPipelineOps {
         .withColumn("payload", col("text").cast("binary"))
         .select(
           col("doc_id"),
-          octet_length(col("payload")).as("n_bytes"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
           md5(col("payload")).as("fp"),
-          floor((octet_length(col("payload")) + lit(255)) / lit(256.0)).cast("long")
+          floor((octet_length(col("payload")).cast("long") + lit(255)) / lit(256.0)).cast("long")
             .as("n_chunks"),
           col("source").as("modality_hint"))
         .orderBy(col("doc_id"))
