@@ -43,6 +43,14 @@ for name in sorted(os.listdir(OUT_DIR)):
     if list(spark_df.columns) != list(oracle_df.columns):
         fails.append((name, f"columns differ: spark={list(spark_df.columns)} oracle={list(oracle_df.columns)}"))
         continue
+    # dtype parity: a strict hash compare can trip on int32-vs-int64 or
+    # DuckDB HUGEINT-sum-as-float64 even when values match
+    dt = [c for c in spark_df.columns
+          if str(spark_df[c].dtype) != str(oracle_df[c].dtype)]
+    if dt:
+        fails.append((name, "dtype mismatch: " + ", ".join(
+            f"{c} spark={spark_df[c].dtype} oracle={oracle_df[c].dtype}" for c in dt)))
+        continue
     if len(spark_df) != len(oracle_df):
         fails.append((name, f"row count: spark={len(spark_df)} oracle={len(oracle_df)}"))
         continue
