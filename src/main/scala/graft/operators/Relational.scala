@@ -418,6 +418,26 @@ object Relational {
       FROM orders WHERE o_custkey < 50
       ORDER BY o_orderstatus, price, o_orderkey"""))
 
+  /** Exact interpolated percentiles per group — Spark `percentile` and
+    * DuckDB `quantile_cont` share linear-interpolation semantics; outputs
+    * rounded to 4dp to absorb the one interpolation op's last-ulp drift. */
+  private val q55 = GraftQuery(
+    "q55_percentiles",
+    (s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus,
+      round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      count(*) AS cnt
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q17, q27, q51, q52)
+    q09, q10, q11, q12, q13, q14, q15, q16, q17, q27, q51, q52, q55)
 }

@@ -68,6 +68,16 @@ class QueriesSpec extends SparkSpec {
     assert(df.select("doc_id").distinct().count() == df.count())
   }
 
+  test("approx_count_distinct (HLL) within 5% of exact (sketch capability)") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).head()
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("oracleSql covers every query except the declared rows-only ones") {
     val rowsOnly = QueryRegistry.queries.filter(_.oracle.isEmpty).map(_.name)
     assert(rowsOnly.toSet ==
