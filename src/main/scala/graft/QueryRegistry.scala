@@ -22,7 +22,8 @@ object QueryRegistry {
       operators.MLPipelineOps.all ++
       operators.PipelineOps.all ++
       operators.SqlSurface.all ++
-      operators.SearchService.all
+      operators.SearchService.all ++
+      operators.EditDistanceJoin.all
 
   lazy val byName: Map[String, GraftQuery] =
     queries.map(q => q.name -> q).toMap

@@ -68,6 +68,23 @@ class QueriesSpec extends SparkSpec {
     assert(df.select("doc_id").distinct().count() == df.count())
   }
 
+  test("q56 PassJoin finds exactly the brute-force edit-distance pairs") {
+    val c = Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    // brute force over the small sf: all pairs with lev <= 2
+    val a = c.select(col("c_custkey").as("ak"), col("c_name").as("an"))
+    val b = c.select(col("c_custkey").as("bk"), col("c_name").as("bn"))
+    val brute = a.crossJoin(b).filter(col("ak") < col("bk"))
+      .filter(levenshtein(col("an"), col("bn")) <= 2)
+      .select(col("ak"), col("bk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pass = QueryRegistry.byName("q56_passjoin_edit_pairs").fn(spark, sf)
+      .select(col("a_key"), col("b_key")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pass == brute, s"missing=${brute -- pass} extra=${pass -- brute}")
+    assert(brute.nonEmpty)
+  }
+
   test("approx_count_distinct (HLL) within 5% of exact (sketch capability)") {
     val li = Tables.t(spark, sf, "lineitem")
     val r = li.agg(
