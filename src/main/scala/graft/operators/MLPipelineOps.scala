@@ -151,5 +151,46 @@ object MLPipelineOps {
     None,
     note = "mapPartitions batch-decode plumbing; codec stubbed (no libs)")
 
-  val all: Seq[GraftQuery] = Seq(q60, q61, q62, q63, q64)
+  /** IVF with a real k-means coarse quantizer (vs q26's label cells):
+    * MLlib KMeans (seeded, deterministic) learns the cells, the query
+    * probes the nearest nprobe centroids, exact cosine rescoring runs
+    * only inside probed cells. The production shape: train the quantizer
+    * once offline, broadcast the tiny centroid table, prune the scan. */
+  private val q65 = GraftQuery(
+    "q65_ivf_kmeans_topk",
+    (s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      import graft.functions.VectorFunctions.cosine
+      import org.apache.spark.sql.expressions.Window
+      val nCells = 8; val nprobe = 3; val k = 10
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          array_to_vector(col("embedding")).as("features"))
+      val model = new KMeans().setK(nCells).setSeed(42)
+        .setFeaturesCol("features").setPredictionCol("cell").fit(emb)
+      val assigned = model.transform(emb)
+      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }.toSeq
+      val centDf = s.createDataFrame(centroids).toDF("cell", "centroid")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val probed = centDf.crossJoin(broadcast(qv))
+        .withColumn("cscore", cosine(col("centroid"), col("qvec")))
+        .orderBy(col("cscore").desc, col("cell"))
+        .limit(nprobe)
+        .select(col("cell"))
+      val scored = assigned
+        .join(broadcast(probed), Seq("cell"))
+        .crossJoin(broadcast(qv))
+        .withColumn("score", cosine(col("embedding"), col("qvec")))
+      val top = scored.orderBy(col("score").desc, col("vec_id")).limit(k)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id"))).cast("long"))
+        .select(col("rank"), col("vec_id"), col("label"), col("cell"))
+    },
+    None,
+    note = "k-means IVF; MLlib quantizer has no SQL twin — recall asserted in tests")
+
+  val all: Seq[GraftQuery] = Seq(q60, q61, q62, q63, q64, q65)
 }

@@ -62,6 +62,15 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("q65 k-means IVF achieves >=60% recall vs exact top-10") {
+    val exact = QueryRegistry.byName("q20_vector_topk").fn(spark, sf)
+      .orderBy("rank").select("vec_id").collect().map(_.getLong(0)).take(10).toSet
+    val ivf = QueryRegistry.byName("q65_ivf_kmeans_topk").fn(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"kmeans-IVF recall $recall")
+  }
+
   test("q64 batch decode covers every document exactly once") {
     val df = QueryRegistry.byName("q64_multimodal_batch_decode").fn(spark, sf)
     assert(df.count() == Tables.t(spark, sf, "documents").count())
@@ -99,7 +108,7 @@ class QueriesSpec extends SparkSpec {
     val rowsOnly = QueryRegistry.queries.filter(_.oracle.isEmpty).map(_.name)
     assert(rowsOnly.toSet ==
       Set("q60_embed_tfidf", "q61_lsh_ann_topk", "q46_ratcliff_fuzzy_pairs",
-        "q26_ivf_ann_topk", "q64_multimodal_batch_decode"))
+        "q26_ivf_ann_topk", "q64_multimodal_batch_decode", "q65_ivf_kmeans_topk"))
     assert(SparkEntry.oracleSql.keySet ==
       SparkEntry.queries.keySet -- rowsOnly)
   }

@@ -115,6 +115,31 @@ class StreamingSpec extends SparkSpec {
     assert(ms.last.getAs[Long]("at_event_id") == 4L)
   }
 
+  test("stream-stream interval join: purchases join clicks within 30 minutes") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val c = clicks.toDF().selectExpr("event_id AS click_id", "ts AS click_ts",
+      "user_id AS c_user").withWatermark("click_ts", "1 hour")
+    val p = purchases.toDF().selectExpr("event_id AS buy_id", "ts AS buy_ts",
+      "user_id AS p_user").withWatermark("buy_ts", "1 hour")
+    val joined = p.join(c,
+      expr("""p_user = c_user AND
+              click_ts <= buy_ts AND click_ts >= buy_ts - INTERVAL 30 minutes"""))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    clicks.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), 7, "click", 0),
+      Ev(2, ts("2024-01-01 02:00:00"), 7, "click", 0)) // too old for the buy below? no — later than buy
+    purchases.addData(
+      Ev(10, ts("2024-01-01 00:20:00"), 7, "purchase", 9.99), // joins click 1 (20m gap)
+      Ev(11, ts("2024-01-01 01:00:00"), 7, "purchase", 5.00)) // click 1 is 60m old -> no match
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssj_out").collect()
+    assert(rows.map(r => (r.getAs[Long]("buy_id"), r.getAs[Long]("click_id"))).toSet ==
+      Set((10L, 1L)))
+  }
+
   test("foreachBatch curation loop: parse+dedup+merge across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_curation").toString
