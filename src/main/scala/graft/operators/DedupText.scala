@@ -307,5 +307,63 @@ object DedupText {
       WHERE levenshtein(a.c_name, b.c_name) <= 2
       ORDER BY nk, a_key, b_key"""))
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38)
+  /** BPE-ish regex tokenization + rolling-hash fingerprint (brief items:
+    * "token counting (whitespace + a BPE-ish regex)", "document
+    * fingerprinting (rolling hash)"):
+    *  - bpe_tokens: GPT-style lexer classes (letter runs | digit runs |
+    *    single punctuation) via regexp_extract_all;
+    *  - rolling_fp: polynomial rolling hash (base 31 mod 1e9+7) over the
+    *    first 64 chars — the incremental form a streaming ingest would
+    *    maintain per chunk. Both integer-exact across engines. */
+  private val q57 = GraftQuery(
+    "q57_bpe_tokens_rolling_fp",
+    (s, d) => {
+      val bpe = expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+      val chars = split(substring(col("text"), 1, 64), "")
+      val rollFp = aggregate(chars, lit(0L),
+        (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(bpe).cast("long").as("bpe_tokens"),
+          rollFp.as("rolling_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+      list_reduce(list_prepend(0::BIGINT,
+        list_transform(string_split_regex(substr(text, 1, 64), ''), c -> ascii(c)::BIGINT)),
+        (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp
+      FROM documents ORDER BY doc_id"""))
+
+  /** The MinHash signature via the custom TypedImperativeAggregate
+    * (one pass, K-long buffer) — oracle computes the same K values as K
+    * independent min() aggregates over the exploded hashes. */
+  private val q66 = GraftQuery(
+    "q66_minhash_agg_signature",
+    (s, d) => {
+      import graft.functions.expressions.MinHashSigAgg.minhash_sig
+      val K = 4
+      val ex = docShingles(s, d)
+        .select(col("doc_id"),
+          explode(packedHashes(col("sg"))).as("h"))
+      ex.groupBy(col("doc_id"))
+        .agg(minhash_sig(col("h"), K).as("sig"))
+        .select(col("doc_id") +: (0 until K).map(k =>
+          element_at(col("sig"), k + 1).as(s"mh$k")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val K = 4
+      val mins = (0 until K).map(k =>
+        s"min(((h >> 32) + $k * (h & 4294967295)) % 4294967296) AS mh$k").mkString(", ")
+      s"""WITH $shSqlCte,
+      ex AS (SELECT doc_id, unnest(${packedHashesSql("sg")}) AS h FROM sh)
+      SELECT doc_id, $mins FROM ex GROUP BY doc_id ORDER BY doc_id"""
+    })
+
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37,
+    q38, q57, q66)
 }
