@@ -80,11 +80,11 @@ class QueriesSpec extends SparkSpec {
   test("q56 PassJoin finds exactly the brute-force edit-distance pairs") {
     val c = Tables.t(spark, sf, "customer")
       .select(col("c_custkey"), col("c_name"))
-    // brute force over the small sf: all pairs with lev <= 2
+    // brute force over the small sf: all pairs with lev <= 1
     val a = c.select(col("c_custkey").as("ak"), col("c_name").as("an"))
     val b = c.select(col("c_custkey").as("bk"), col("c_name").as("bn"))
     val brute = a.crossJoin(b).filter(col("ak") < col("bk"))
-      .filter(levenshtein(col("an"), col("bn")) <= 2)
+      .filter(levenshtein(col("an"), col("bn")) <= 1)
       .select(col("ak"), col("bk")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val pass = QueryRegistry.byName("q56_passjoin_edit_pairs").fn(spark, sf)
