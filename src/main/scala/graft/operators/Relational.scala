@@ -438,6 +438,80 @@ object Relational {
       count(*) AS cnt
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Navigation window functions: lag / lead / ntile per user over
+    * event time (SURVEY §2.5 breadth; deterministic via total order). */
+  private val q58 = GraftQuery(
+    "q58_lag_lead_ntile",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"),
+          coalesce(lag(col("event_id"), 1).over(w), lit(-1L)).as("prev_id"),
+          coalesce(lead(col("event_id"), 1).over(w), lit(-1L)).as("next_id"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+      coalesce(lag(event_id, 1) OVER w, -1) AS prev_id,
+      coalesce(lead(event_id, 1) OVER w, -1) AS next_id,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      FROM events WHERE user_id < 10
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id"""))
+
+  /** String-function breadth (SURVEY §2.9 F9/F12 beyond the pipeline's
+    * own needs): pad / translate / reverse / repeat / position / case. */
+  private val q59 = GraftQuery(
+    "q59_string_functions",
+    (s, d) => {
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          lpad(col("p_brand"), 12, "_").as("brand_pad"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("consonantized"),
+          reverse(col("p_type")).as("type_rev"),
+          concat(repeat(lit("*"), col("p_size") % 5), upper(col("p_name"))).as("starred"),
+          instr(col("p_name"), "e").cast("long").as("first_e"),
+          concat(upper(substring(col("p_name"), 1, 1)), substring(col("p_name"), 2, 1000))
+            .as("cap_first"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey,
+      lpad(p_brand, 12, '_') AS brand_pad,
+      translate(p_name, 'aeiou', 'AEIOU') AS consonantized,
+      reverse(p_type) AS type_rev,
+      repeat('*', CAST(p_size % 5 AS INT)) || upper(p_name) AS starred,
+      CAST(strpos(p_name, 'e') AS BIGINT) AS first_e,
+      upper(substr(p_name, 1, 1)) || substr(p_name, 2, 1000) AS cap_first
+      FROM part ORDER BY p_partkey"""))
+
+  /** Date/time-function breadth (SURVEY §2.9 F10): trunc, extract parts,
+    * day arithmetic, month bucketing. */
+  private val q67 = GraftQuery(
+    "q67_date_functions",
+    (s, d) => {
+      t(s, d, "orders")
+        .groupBy(
+          fdate(date_trunc("month", col("o_orderdate"))).as("order_month"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"))
+        .agg(
+          count(lit(1)).as("n"),
+          max(dayofmonth(col("o_orderdate"))).cast("long").as("max_dom"),
+          max(datediff(col("o_orderdate"), lit("1995-01-01").cast("date")))
+            .cast("long").as("max_days_since_epoch0"))
+        .orderBy(col("order_month"))
+    },
+    Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+      CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+      CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS q,
+      count(*) AS n,
+      CAST(max(extract(day FROM o_orderdate)) AS BIGINT) AS max_dom,
+      CAST(max(date_diff('day', DATE '1995-01-01', o_orderdate)) AS BIGINT) AS max_days_since_epoch0
+      FROM orders GROUP BY 1, 2, 3 ORDER BY order_month"""))
+
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q17, q27, q51, q52, q55)
+    q09, q10, q11, q12, q13, q14, q15, q16, q17, q27, q51, q52, q55,
+    q58, q59, q67)
 }
