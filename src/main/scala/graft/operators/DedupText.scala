@@ -364,6 +364,51 @@ object DedupText {
       SELECT doc_id, $mins FROM ex GROUP BY doc_id ORDER BY doc_id"""
     })
 
+  /** Higher-order array function breadth (SURVEY F5 family): transform /
+    * filter / exists / sort / slice over the token arrays. */
+  private val q68 = GraftQuery(
+    "q68_array_hof_functions",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          exists(toks, t => t === "spark").as("mentions_spark"),
+          size(filter(toks, t => length(t) > 4)).cast("long").as("n_long_tokens"),
+          concat_ws("|", slice(sort_array(array_distinct(toks)), 1, 5))
+            .as("first5_sorted"),
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("total_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      list_contains(string_split(text, ' '), 'spark') AS mentions_spark,
+      CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS BIGINT) AS n_long_tokens,
+      array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], '|') AS first5_sorted,
+      list_reduce(list_prepend(0::BIGINT,
+        list_transform(string_split(text, ' '), t -> length(t)::BIGINT)),
+        (acc, t) -> acc + t) AS total_chars
+      FROM documents ORDER BY doc_id"""))
+
+  /** Null-semantics breadth: nullif / coalesce / null-safe equality
+    * (SURVEY §1.3 — the engine's explicit NULL treatment vs the
+    * reference's absent-key dropping, search.py:62). */
+  private val q69 = GraftQuery(
+    "q69_null_semantics",
+    (s, d) => {
+      val nullableLang = nullif(col("lang"), lit("zh")) // manufacture nulls
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          coalesce(nullableLang, lit("redacted")).as("lang_or_default"),
+          nullableLang.isNull.as("was_nulled"),
+          (nullableLang <=> lit("en")).as("nullsafe_is_en"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      coalesce(nullif(lang, 'zh'), 'redacted') AS lang_or_default,
+      nullif(lang, 'zh') IS NULL AS was_nulled,
+      nullif(lang, 'zh') IS NOT DISTINCT FROM 'en' AS nullsafe_is_en
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q57, q66)
+    q38, q57, q66, q68, q69)
 }

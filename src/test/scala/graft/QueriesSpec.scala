@@ -94,6 +94,26 @@ class QueriesSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("PassJoin k=1 is lossless on synthetic varied-prefix strings") {
+    import spark.implicits._
+    // deterministic corpus with entropy spread across the whole string
+    val rnd = new scala.util.Random(7)
+    val strs = (0L until 400L).map { i =>
+      (i, (0 until 8).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    }
+    val df = strs.toDF("k", "s")
+    val a = df.select(col("k").as("ak"), col("s").as("an"))
+    val b = df.select(col("k").as("bk"), col("s").as("bn"))
+    val brute = a.crossJoin(b).filter(col("ak") < col("bk"))
+      .filter(levenshtein(col("an"), col("bn")) <= 1)
+      .select("ak", "bk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pass = graft.operators.EditDistanceJoin.selfJoinK1(df, "k", "s")
+      .select("a_key", "b_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pass == brute, s"missing=${brute -- pass} extra=${pass -- brute}")
+    assert(brute.nonEmpty)
+  }
+
   test("approx_count_distinct (HLL) within 5% of exact (sketch capability)") {
     val li = Tables.t(spark, sf, "lineitem")
     val r = li.agg(
