@@ -192,5 +192,28 @@ object MLPipelineOps {
     None,
     note = "k-means IVF; MLlib quantizer has no SQL twin — recall asserted in tests")
 
-  val all: Seq[GraftQuery] = Seq(q60, q61, q62, q63, q64, q65)
+  /** Word2Vec embedding generation — the SURVEY S9 alternative to
+    * HashingTF/IDF: learned dense vectors (seeded; repartition(1) keeps
+    * the gradient order, and thus the vectors, deterministic locally).
+    * Rows-only: learned weights have no SQL twin. */
+  private val q70 = GraftQuery(
+    "q70_embed_word2vec",
+    (s, d) => {
+      import org.apache.spark.ml.feature.{Tokenizer, Word2Vec}
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .repartition(1) // determinism: single-partition gradient order
+      val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+      val w2v = new Word2Vec().setInputCol("words").setOutputCol("vec")
+        .setVectorSize(16).setSeed(42).setMinCount(1).setMaxIter(1)
+      val model = w2v.fit(tok.transform(docs))
+      val out = model.transform(tok.transform(docs))
+      import org.apache.spark.ml.linalg.Vector
+      val norm = udf((v: Vector) => math.sqrt(v.toArray.map(x => x * x).sum))
+      out.select(col("doc_id"), round(norm(col("vec")), 4).as("w2v_norm"))
+        .orderBy(col("doc_id"))
+    },
+    None,
+    note = "Word2Vec learned embedding — no SQL twin; rows-only check")
+
+  val all: Seq[GraftQuery] = Seq(q60, q61, q62, q63, q64, q65, q70)
 }

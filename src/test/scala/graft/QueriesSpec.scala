@@ -71,6 +71,15 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.6, s"kmeans-IVF recall $recall")
   }
 
+  test("q61 LSH ANN recalls at least 30% of the exact top-10") {
+    val exact = QueryRegistry.byName("q20_vector_topk").fn(spark, sf)
+      .orderBy("rank").select("vec_id").collect().map(_.getLong(0)).take(10).toSet
+    val lsh = QueryRegistry.byName("q61_lsh_ann_topk").fn(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall $recall")
+  }
+
   test("q64 batch decode covers every document exactly once") {
     val df = QueryRegistry.byName("q64_multimodal_batch_decode").fn(spark, sf)
     assert(df.count() == Tables.t(spark, sf, "documents").count())
@@ -128,7 +137,8 @@ class QueriesSpec extends SparkSpec {
     val rowsOnly = QueryRegistry.queries.filter(_.oracle.isEmpty).map(_.name)
     assert(rowsOnly.toSet ==
       Set("q60_embed_tfidf", "q61_lsh_ann_topk", "q46_ratcliff_fuzzy_pairs",
-        "q26_ivf_ann_topk", "q64_multimodal_batch_decode", "q65_ivf_kmeans_topk"))
+        "q26_ivf_ann_topk", "q64_multimodal_batch_decode", "q65_ivf_kmeans_topk",
+        "q70_embed_word2vec"))
     assert(SparkEntry.oracleSql.keySet ==
       SparkEntry.queries.keySet -- rowsOnly)
   }
