@@ -409,6 +409,51 @@ object DedupText {
       nullif(lang, 'zh') IS NOT DISTINCT FROM 'en' AS nullsafe_is_en
       FROM documents ORDER BY doc_id"""))
 
+  /** Point lookup + JSON response shaping (SURVEY S3 + F14's to_json —
+    * the reference's find_one and jsonify, database.py:70-75,
+    * routes.py:23-28). Both engines emit identical compact JSON. */
+  private val q71 = GraftQuery(
+    "q71_point_lookup_json",
+    (s, d) => {
+      t(s, d, "documents")
+        .filter(col("doc_id") === 42)
+        .limit(1)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("source"))).as("js"))
+    },
+    Some("""SELECT doc_id,
+      to_json({'doc_id': doc_id, 'lang': lang, 'source': source})::VARCHAR AS js
+      FROM documents WHERE doc_id = 42 LIMIT 1"""))
+
+  /** The reference's /api/analyze-subtopics endpoint (SURVEY A2/3.2,
+    * backend/routes.py:99-143): explode tags → group → keep groups of
+    * >= 2 → confidence = |group| / |corpus| → top maxGroups,
+    * deterministic tiebreak. Tokens play the genres role on the harness
+    * corpus. */
+  private val q72 = GraftQuery(
+    "q72_subtopic_groups",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val totalDf = docs.agg(count(lit(1)).as("total"))
+      docs
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tag"))
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .crossJoin(broadcast(totalDf))
+        .withColumn("confidence", round(col("cnt").cast("double") / col("total"), 6))
+        .select(col("tag"), col("cnt"), col("confidence"))
+        .orderBy(col("cnt").desc, col("tag"))
+        .limit(3)
+    },
+    Some("""WITH tags AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tag
+             FROM documents),
+      total AS (SELECT count(*) AS total FROM documents)
+      SELECT tag, count(*) AS cnt,
+        round(CAST(count(*) AS DOUBLE) / (SELECT total FROM total), 6) AS confidence
+      FROM tags GROUP BY tag HAVING count(*) >= 2
+      ORDER BY cnt DESC, tag LIMIT 3"""))
+
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q57, q66, q68, q69)
+    q38, q57, q66, q68, q69, q71, q72)
 }
