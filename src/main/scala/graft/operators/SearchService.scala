@@ -21,9 +21,49 @@ import org.apache.spark.sql.functions._
   */
 object SearchService {
 
+  /** The reference's SEARCH_CONFIG (backend/config.py:24-28). */
+  object Config {
+    val DefaultLimit = 20
+    val MaxLimit = 100
+    val OverscanFactor = 3                      // search.py:38
+    def numCandidates(limit: Int): Int =        // ai_service.py:68
+      math.min(50 * limit, 1000)
+  }
+
+  /** Strategy-with-degrade (SURVEY O12, search.py:27-38): try the
+    * approximate path (LSH buckets — the $vectorSearch analog), fall back
+    * to the exact scan on any failure, exactly the reference's silent
+    * ANN→exact degrade. Both plans serve the same logical query. */
+  def searchWithFallback(spark: SparkSession, dir: String, queryVecId: Long,
+                         limit: Int = Config.DefaultLimit): DataFrame = {
+    val k = math.max(1, math.min(limit, Config.MaxLimit))
+    try {
+      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          array_to_vector(col("embedding")).as("features"))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setBucketLength(0.5).setNumHashTables(2).setSeed(42)
+        .setInputCol("features").setOutputCol("hashes")
+      val model = lsh.fit(emb)
+      val key = emb.filter(col("vec_id") === queryVecId)
+        .head().getAs[org.apache.spark.ml.linalg.Vector]("features")
+      // numCandidates cap, then exact re-rank of the candidate pool
+      model.approxNearestNeighbors(emb, key, Config.numCandidates(k))
+        .orderBy(col("distCol"), col("vec_id"))
+        .limit(k)
+        .select(col("vec_id"), col("label"))
+    } catch {
+      case _: Throwable => // degrade to the exact path (search.py:27-38)
+        search(spark, dir, queryVecId, k).select(col("doc_id").as("vec_id"))
+    }
+  }
+
   def search(spark: SparkSession, dir: String, queryVecId: Long,
-             limit: Int = 20, langs: Seq[String] = Seq("en", "fr")): DataFrame = {
-    val k = math.max(1, math.min(limit, 100)) // P7 clamp
+             limit: Int = Config.DefaultLimit,
+             langs: Seq[String] = Seq("en", "fr")): DataFrame = {
+    val k = math.max(1, math.min(limit, Config.MaxLimit)) // P7 clamp
     val qv = t(spark, dir, "embeddings")
       .filter(col("vec_id") === queryVecId).select(col("embedding").as("qvec"))
     val filtered = t(spark, dir, "documents")
@@ -33,7 +73,7 @@ object SearchService {
       .crossJoin(broadcast(qv))
       .withColumn("coarse", dotProduct(col("embedding"), col("qvec")))
       .orderBy(col("coarse").desc, col("doc_id"))
-      .limit(3 * k) // T3 overscan
+      .limit(Config.OverscanFactor * k) // T3 overscan
     val reranked = overscan
       .withColumn("score", cosine(col("embedding"), col("qvec")))
       .orderBy(col("score").desc, col("doc_id"))
