@@ -83,6 +83,30 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(df.as[Double].head() - 0.8888888888888888) < 1e-12)
   }
 
+  test("extractYear boundaries are inclusive: 1900 and 2030 pass the gate") {
+    val df = Seq("in 1900", "by 2030", "year 1899", "even 2031")
+      .toDF("s").select(extractYear(col("s")).as("y"))
+    // "1899" never matches (19|20)\d{2} → fallback 2000;
+    // "2031" matches the regex but fails the [1900,2030] gate → 2000
+    assert(df.as[Int].collect().toSeq == Seq(1900, 2030, 2000, 2000))
+  }
+
+  test("cosine of a zero vector is NaN (documented edge, not a crash)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val z = ArrayData.toArrayData(Array(0f, 0f))
+    val v = ArrayData.toArrayData(Array(1f, 2f))
+    val c = graft.functions.expressions.VectorKernels.cosineF(z, v)
+    assert(c.isNaN) // 0-norm → 0/0; callers guard with P6 presence checks
+  }
+
+  test("ratio kernel handles unicode and long strings without error") {
+    val long = "x" * 500
+    assert(RatcliffObershelp.ratio(long, long) == 1.0)
+    assert(RatcliffObershelp.ratio("héllo wörld", "héllo wörld") == 1.0)
+    val r = RatcliffObershelp.ratio(long, long.dropRight(1) + "y")
+    assert(r > 0.99 && r < 1.0)
+  }
+
   test("levRatio normalized similarity (F8 oracle twin)") {
     val df = Seq(("kitten", "sitting")).toDF("a", "b")
       .select(levRatio(col("a"), col("b")).as("r"))
