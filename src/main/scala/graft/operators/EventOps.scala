@@ -213,5 +213,54 @@ object EventOps {
       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
       FROM events WHERE user_id < 20 GROUP BY user_id ORDER BY user_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q48, q49, q53, q54)
+  /** Batch twin of StreamingOps.milestones (flatMapGroupsWithState): the
+    * every-3rd-event milestone per user as a ranked-window filter — same
+    * semantics, the stateful streaming form covered in StreamingSpec. */
+  private val q73 = GraftQuery(
+    "q73_milestones_batch",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") % 3 === 0)
+        .select(col("user_id"), col("rn").as("milestone"), col("event_id"))
+        .orderBy(col("user_id"), col("milestone"))
+    },
+    Some("""SELECT user_id, rn AS milestone, event_id FROM (
+      SELECT user_id, event_id,
+        CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+      FROM events) WHERE rn % 3 = 0 ORDER BY user_id, milestone"""))
+
+  /** Multiset set operations (SURVEY §2.7 note): INTERSECT ALL / EXCEPT
+    * ALL over per-user event-type bags from two time halves. */
+  private val q74 = GraftQuery(
+    "q74_multiset_setops",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val firstHalf = ev.filter(dayofmonth(col("ts")) <= 15)
+        .select(col("user_id"), col("event_type"))
+      val secondHalf = ev.filter(dayofmonth(col("ts")) > 15)
+        .select(col("user_id"), col("event_type"))
+      val common = firstHalf.intersectAll(secondHalf)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .withColumn("tag", lit("common"))
+      val firstOnly = firstHalf.exceptAll(secondHalf)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .withColumn("tag", lit("first_only"))
+      common.unionByName(firstOnly)
+        .select(col("tag"), col("user_id"), col("n"))
+        .orderBy(col("tag"), col("user_id"))
+    },
+    Some("""WITH fh AS (SELECT user_id, event_type FROM events WHERE extract(day FROM ts) <= 15),
+      sh2 AS (SELECT user_id, event_type FROM events WHERE extract(day FROM ts) > 15),
+      common AS (SELECT user_id, count(*) AS n FROM
+        (SELECT * FROM fh INTERSECT ALL SELECT * FROM sh2) GROUP BY user_id),
+      fonly AS (SELECT user_id, count(*) AS n FROM
+        (SELECT * FROM fh EXCEPT ALL SELECT * FROM sh2) GROUP BY user_id)
+      SELECT 'common' AS tag, user_id, n FROM common
+      UNION ALL SELECT 'first_only', user_id, n FROM fonly
+      ORDER BY tag, user_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q48, q49, q53,
+    q54, q73, q74)
 }
