@@ -454,6 +454,25 @@ object DedupText {
       FROM tags GROUP BY tag HAVING count(*) >= 2
       ORDER BY cnt DESC, tag LIMIT 3"""))
 
+  /** Generator with ordinality — posexplode over the leading tokens
+    * (SURVEY F2's UDTF-shaped surface: one row in, positioned rows out). */
+  private val q75 = GraftQuery(
+    "q75_posexplode_ordinality",
+    (s, d) => {
+      t(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(slice(tokens(col("text")), 1, 5)).as(Seq("pos", "tok")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("ordinality"),
+          col("tok"))
+        .orderBy(col("doc_id"), col("ordinality"))
+    },
+    Some("""SELECT doc_id, CAST(ord AS BIGINT) AS ordinality, tok
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')[1:5]) AS tok,
+              generate_subscripts(string_split(text, ' ')[1:5], 1) AS ord
+            FROM documents WHERE doc_id < 50)
+      ORDER BY doc_id, ordinality"""))
+
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q57, q66, q68, q69, q71, q72)
+    q38, q57, q66, q68, q69, q71, q72, q75)
 }
