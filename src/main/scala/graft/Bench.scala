@@ -24,10 +24,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the whole 70+-query JSON line short
+    // enough to survive the driver's bounded stdout-tail capture (round 1
+    // shipped full-precision doubles and the line was front-truncated →
+    // BENCH parsed:null). Belt and braces: also write the line to a file.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()
+    // sole final stdout line (after spark.stop so no shutdown noise follows)
+    println(line)
   }
 }

@@ -7,11 +7,21 @@ import org.apache.spark.sql.graftbridge.GraftBridge
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Ratcliff/Obershelp similarity — the exact metric behind Python's
-  * `difflib.SequenceMatcher.ratio()` used by the reference's fuzzy dedup
-  * (/root/reference/movie_generator.py:89: threshold 0.85). Spark built-ins
-  * stop at levenshtein/soundex, so this is the one genuinely custom scalar
-  * function the engine needs (SURVEY.md §4 item 2, §7.3).
+/** Ratcliff/Obershelp similarity — the metric behind Python's
+  * `difflib.SequenceMatcher(None, a, b, autojunk=False).ratio()` used by the
+  * reference's fuzzy dedup (/root/reference/movie_generator.py:89: threshold
+  * 0.85). Spark built-ins stop at levenshtein/soundex, so this is the one
+  * genuinely custom scalar function the engine needs (SURVEY.md §4 item 2,
+  * §7.3).
+  *
+  * Parity notes (pinned to difflib goldens in FunctionsSpec):
+  *  - difflib's DEFAULT autojunk=True heuristic diverges for strings of
+  *    length >= 200 (characters occurring in >1% of b are junked, changing
+  *    the ratio). This implementation matches autojunk=False; the
+  *    reference's titles are far below 200 chars, where the two agree.
+  *  - comparison is over UTF-16 code units (Java chars) vs Python's code
+  *    points: astral-plane characters (outside the BMP) count as 2 here
+  *    and 1 in Python.
   *
   * ratio = 2·M / (|a| + |b|), where M is the total size of matched blocks
   * found by recursively taking the longest matching substring (ties:

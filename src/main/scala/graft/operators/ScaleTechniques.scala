@@ -14,11 +14,17 @@ object ScaleTechniques {
     * aggregate on (key, salt) spreads a hot key over `salts` reducers,
     * then the tiny per-key final combine. Results are identical to the
     * direct groupBy (asserted in ScaleSpec); only the shuffle layout
-    * changes. Use when one key owns a disproportionate share of rows. */
+    * changes. Use when one key owns a disproportionate share of rows.
+    *
+    * The salt is derived from ROW CONTENT, never from a nondeterministic
+    * expression: monotonically_increasing_id()/rand() are re-evaluated on
+    * stage retry, so after a fetch failure recomputed rows could land in
+    * different (key, salt) buckets and double-count or drop — exactly on
+    * the large clusters salting targets. hash(content) is retry-stable. */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      salts: Int = 16): DataFrame =
     df
-      .withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
+      .withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(
         sum(col(valueCol)).as("__psum"),
@@ -35,8 +41,9 @@ object ScaleTechniques {
     * hot fact key spreads across `salts` tasks instead of one straggler. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
+    // content-derived salt (retry-stable — see saltedSumCount)
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+      pmod(hash(fact.columns.map(col): _*), lit(salts)))
     val repDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
     saltedFact.join(repDim, Seq(key, "__salt")).drop("__salt")
