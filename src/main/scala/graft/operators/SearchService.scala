@@ -32,10 +32,21 @@ object SearchService {
 
   /** Strategy-with-degrade (SURVEY O12, search.py:27-38): try the
     * approximate path (LSH buckets — the $vectorSearch analog), fall back
-    * to the exact scan on any failure, exactly the reference's silent
-    * ANN→exact degrade. Both plans serve the same logical query. */
+    * to the exact scan on failure, exactly the reference's silent
+    * ANN→exact degrade. Both paths serve the same logical query and emit
+    * the SAME (vec_id, label) schema, so callers cannot observe which
+    * strategy ran; only NonFatal failures degrade (an OOM or interrupt
+    * must propagate, not silently switch plans).
+    *
+    * The metadata pre-filter runs BEFORE/INSIDE the ANN probe, like the
+    * filter pushed inside $vectorSearch (ai_service.py:70): the LSH model
+    * is fit on the full corpus (bucket geometry is filter-independent),
+    * but `approxNearestNeighbors` probes only the FILTERED frame, so a
+    * filtered search still returns k rows — post-filtering the ANN output
+    * would return fewer than k at scale. */
   def searchWithFallback(spark: SparkSession, dir: String, queryVecId: Long,
-                         limit: Int = Config.DefaultLimit): DataFrame = {
+                         limit: Int = Config.DefaultLimit,
+                         langs: Seq[String] = Seq("en", "fr")): DataFrame = {
     val k = math.max(1, math.min(limit, Config.MaxLimit))
     try {
       import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
@@ -43,6 +54,12 @@ object SearchService {
       val emb = t(spark, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           array_to_vector(col("embedding")).as("features"))
+      // P1 pre-filter: docs metadata gate lands in the parquet scan and
+      // restricts the candidate frame BEFORE the bucket probe
+      val filtered = emb.join(
+        t(spark, dir, "documents")
+          .filter(col("lang").isin(langs: _*)).select(col("doc_id")),
+        col("vec_id") === col("doc_id")).drop("doc_id")
       val lsh = new BucketedRandomProjectionLSH()
         .setBucketLength(0.5).setNumHashTables(2).setSeed(42)
         .setInputCol("features").setOutputCol("hashes")
@@ -50,13 +67,17 @@ object SearchService {
       val key = emb.filter(col("vec_id") === queryVecId)
         .head().getAs[org.apache.spark.ml.linalg.Vector]("features")
       // numCandidates cap, then exact re-rank of the candidate pool
-      model.approxNearestNeighbors(emb, key, Config.numCandidates(k))
+      model.approxNearestNeighbors(filtered, key, Config.numCandidates(k))
         .orderBy(col("distCol"), col("vec_id"))
         .limit(k)
         .select(col("vec_id"), col("label"))
     } catch {
-      case _: Throwable => // degrade to the exact path (search.py:27-38)
-        search(spark, dir, queryVecId, k).select(col("doc_id").as("vec_id"))
+      case scala.util.control.NonFatal(_) =>
+        // degrade to the exact path (search.py:27-38), same output schema
+        search(spark, dir, queryVecId, k, langs)
+          .join(t(spark, dir, "embeddings").select(col("vec_id"), col("label")),
+            col("doc_id") === col("vec_id"))
+          .select(col("vec_id"), col("label"))
     }
   }
 

@@ -139,6 +139,23 @@ class QueriesSpec extends SparkSpec {
     assert(ex != null) // both paths failed on a truly absent table
   }
 
+  test("filtered ANN path returns k rows that ALL satisfy the metadata filter") {
+    import graft.operators.SearchService
+    // the filter is pushed into the candidate frame BEFORE the bucket
+    // probe (ai_service.py:70 pushes it inside $vectorSearch): a filtered
+    // search must return k filtered rows, never post-filter-to-fewer
+    val k = 5
+    val res = SearchService.searchWithFallback(spark, sf, 0, limit = k,
+      langs = Seq("de"))
+    assert(res.columns.toSeq == Seq("vec_id", "label"))
+    val rows = res.collect()
+    assert(rows.length == k, s"expected $k filtered results, got ${rows.length}")
+    val deDocs = Tables.t(spark, sf, "documents").filter(col("lang") === "de")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("vec_id")).forall(deDocs.contains),
+      "ANN returned a row outside the metadata filter")
+  }
+
   test("approx_count_distinct (HLL) within 5% of exact (sketch capability)") {
     val li = Tables.t(spark, sf, "lineitem")
     val r = li.agg(

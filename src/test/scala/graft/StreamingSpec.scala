@@ -167,6 +167,74 @@ class StreamingSpec extends SparkSpec {
       Set("The Bicycle Thief", "Stalker", "Heat"))
   }
 
+  /** (path, md5) fingerprint of every data file under a directory. */
+  private def dirFingerprint(dir: String): Map[String, String] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Map.empty
+    else d.listFiles().filter(_.isFile).filterNot(_.getName.startsWith("."))
+      .map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+        f.getName -> md5
+      }.toMap
+  }
+
+  test("partition-pruned merge: untouched corpus partitions stay byte-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val corpusDir = s"$dir/corpus"
+    val mem = MemoryStream[String]
+    // batch 1: buckets yb=194 (1948) and yb=199 (1995)
+    mem.addData(
+      "TITLE: The Bicycle Thief\nYEAR: 1948\nGENRES: Drama\nPLOT: a",
+      "TITLE: Heat\nYEAR: 1995\nGENRES: Crime\nPLOT: b")
+    val q1 = graft.streaming.StreamingCuration.start(
+      mem.toDF().withColumnRenamed("value", "raw"), corpusDir, s"$dir/ckpt")
+    q1.awaitTermination()
+    val fp194 = dirFingerprint(s"$corpusDir/yb=194")
+    assert(fp194.nonEmpty)
+    // batch 2 touches only bucket 199 (1996 → fresh row; 1948 dup rejected)
+    mem.addData(
+      "TITLE: the bicycle thief\nYEAR: 1948\nGENRES: Drama\nPLOT: dup",
+      "TITLE: Fargo\nYEAR: 1996\nGENRES: Crime\nPLOT: new")
+    val q2 = graft.streaming.StreamingCuration.start(
+      mem.toDF().withColumnRenamed("value", "raw"), corpusDir, s"$dir/ckpt")
+    q2.awaitTermination()
+    // the 1948 bucket was neither rewritten nor renamed: same files, same bytes
+    assert(dirFingerprint(s"$corpusDir/yb=194") == fp194,
+      "untouched partition was rewritten")
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.count() == 3)
+    assert(corpus.select("title").as[String].collect().toSet ==
+      Set("The Bicycle Thief", "Heat", "Fargo"))
+    // no staging/backup leftovers after a clean swap
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet == Set("corpus", "ckpt"))
+  }
+
+  test("interrupted swap: bucket parked in the backup dir is restored on recovery") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_recover").toString
+    val corpusDir = s"$dir/corpus"
+    val mem = MemoryStream[String]
+    mem.addData("TITLE: Stalker\nYEAR: 1979\nGENRES: SciFi\nPLOT: a")
+    val q1 = graft.streaming.StreamingCuration.start(
+      mem.toDF().withColumnRenamed("value", "raw"), corpusDir, s"$dir/ckpt")
+    q1.awaitTermination()
+    val fp = dirFingerprint(s"$corpusDir/yb=197")
+    // simulate a crash between the two swap renames: live bucket moved to
+    // the backup dir, replacement never arrived
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${corpusDir}_prev_9"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$corpusDir/yb=197"),
+      new org.apache.hadoop.fs.Path(s"${corpusDir}_prev_9/yb=197"))
+    assert(dirFingerprint(s"$corpusDir/yb=197").isEmpty)
+    graft.streaming.StreamingCuration.recoverInterruptedSwap(spark, corpusDir)
+    assert(dirFingerprint(s"$corpusDir/yb=197") == fp, "bucket not restored")
+    assert(!new java.io.File(s"${corpusDir}_prev_9").exists())
+  }
+
   test("checkpoint-resume: restarted query does not recount processed data") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
