@@ -69,6 +69,64 @@ object EditDistanceJoin {
       .drop("a_sfx", "b_sfx")
   }
 
+  /** PassJoin generalized to ed <= 2 over VARIABLE-LENGTH strings — the
+    * real dedup workload's shape (titles differ in length; k=1 equal-length
+    * is the special case above). k+1 = 3 segments; the index side cuts each
+    * string of length l into its 3 exact segments keyed by (seg_idx, l);
+    * the probe side enumerates every candidate target length
+    * l ∈ [m-2, m+2] (length filtering: |Δlen| <= k is necessary for
+    * ed <= k), computes that l's segment geometry, and emits the probe
+    * substrings shifted by δ ∈ [-k, k] — the loose-but-correct position
+    * bound (PassJoin's per-segment bound is tighter; the superset only
+    * costs candidates, never correctness, and the thresholded levenshtein
+    * verify drops them). Candidates come from a plain equi-join on
+    * (seg_idx, target_len, segment): O(n·(2k+1)²·(k+1)) keys — constant
+    * ~75 per row — instead of O(n²) pairs.
+    *
+    * Segment geometry (extras go to the LAST segments; must match the SQL
+    * twin exactly): len_0 = l div 3, len_1 = l div 3 + [l%3 = 2],
+    * len_2 = l div 3 + [l%3 >= 1]; starts are the prefix sums.
+    * Precondition: strings of length >= 3 (each segment non-empty). */
+  def selfJoinK2(df: DataFrame, keyCol: String, strCol: String): DataFrame = {
+    def lenE(i: Int, l: String) = i match {
+      case 0 => s"($l div 3)"
+      case 1 => s"(($l div 3) + (CASE WHEN $l % 3 = 2 THEN 1 ELSE 0 END))"
+      case _ => s"(($l div 3) + (CASE WHEN $l % 3 >= 1 THEN 1 ELSE 0 END))"
+    }
+    def startE(i: Int, l: String) = i match {
+      case 0 => "1"
+      case 1 => s"(1 + ($l div 3))"
+      case _ => s"(1 + 2 * ($l div 3) + (CASE WHEN $l % 3 = 2 THEN 1 ELSE 0 END))"
+    }
+    val base = df.select(col(keyCol).as("key"), col(strCol).as("str"))
+      .filter(length(col("str")) >= 3)
+    val idx = base
+      .selectExpr("key AS a_key", "str AS a_str", "length(str) AS tlen")
+      .selectExpr("a_key", "a_str", "tlen",
+        "inline(array(" + (0 until 3).map(i =>
+          s"struct($i AS seg_idx, substr(a_str, ${startE(i, "tlen")}, ${lenE(i, "tlen")}) AS seg)")
+          .mkString(", ") + "))")
+    val probe = base
+      .selectExpr("key AS b_key", "str AS b_str", "length(str) AS m")
+      .selectExpr("b_key", "b_str", "m", "explode(sequence(m - 2, m + 2)) AS tlen")
+      .filter(col("tlen") >= 3)
+      .selectExpr("b_key", "b_str", "m", "tlen", "explode(sequence(-2, 2)) AS delta")
+      .selectExpr("b_key", "b_str", "m", "tlen",
+        "inline(array(" + (0 until 3).map(i =>
+          s"struct($i AS seg_idx, (${startE(i, "tlen")} + delta) AS st, ${lenE(i, "tlen")} AS sl)")
+          .mkString(", ") + "))")
+      .filter(col("st") >= 1 && col("st") + col("sl") - 1 <= col("m"))
+      .selectExpr("b_key", "b_str", "tlen", "seg_idx", "substr(b_str, st, sl) AS seg")
+      .distinct()
+    idx.join(probe, Seq("seg_idx", "tlen", "seg"))
+      .filter(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("a_str"), col("b_key"), col("b_str"))
+      .distinct()
+      .withColumn("lev", levenshtein(col("a_str"), col("b_str"), 2).cast("long"))
+      .filter(col("lev") >= 0)
+      .drop("a_str", "b_str")
+  }
+
   /** PassJoin over customer names, global — no metadata blocking key
     * (compare q38, which blocks on nation to tame O(n²)). */
   private val q56 = GraftQuery(
@@ -105,5 +163,51 @@ object EditDistanceJoin {
       FROM cand WHERE levenshtein(a_sfx, b_sfx) <= 1
       ORDER BY a_key, b_key"""))
 
-  val all: Seq[GraftQuery] = Seq(q56)
+  /** q56b — the k=2 variable-length PassJoin over part names (multi-word,
+    * varied lengths — the title-dedup shape). */
+  private val q79 = GraftQuery(
+    "q79_passjoin_k2_varlen",
+    (s, d) => {
+      val p = t(s, d, "part")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("p_partkey"), col("p_name"))
+      selfJoinK2(p, "p_partkey", "p_name")
+        .select(col("a_key"), col("b_key"), col("lev"))
+        .orderBy(col("a_key"), col("b_key"))
+    },
+    Some("""WITH base AS (SELECT p_partkey AS key, p_name AS str, length(p_name) AS l
+               FROM part WHERE length(p_name) >= 3),
+      segs AS (SELECT unnest([0, 1, 2]) AS seg_idx),
+      idx AS (
+        SELECT key AS a_key, str AS a_str, l AS tlen, seg_idx,
+          substr(str,
+            CASE seg_idx WHEN 0 THEN 1 WHEN 1 THEN 1 + l // 3
+                 ELSE 1 + 2 * (l // 3) + CASE WHEN l % 3 = 2 THEN 1 ELSE 0 END END,
+            CASE seg_idx WHEN 0 THEN l // 3
+                 WHEN 1 THEN l // 3 + CASE WHEN l % 3 = 2 THEN 1 ELSE 0 END
+                 ELSE l // 3 + CASE WHEN l % 3 >= 1 THEN 1 ELSE 0 END END) AS seg
+        FROM base, segs),
+      probe AS (
+        SELECT DISTINCT b_key, b_str, tlen, seg_idx, substr(b_str, st, sl) AS seg
+        FROM (
+          SELECT key AS b_key, str AS b_str, l AS m, l + off AS tlen, seg_idx, delta,
+            CASE seg_idx WHEN 0 THEN 1 WHEN 1 THEN 1 + (l + off) // 3
+                 ELSE 1 + 2 * ((l + off) // 3)
+                      + CASE WHEN (l + off) % 3 = 2 THEN 1 ELSE 0 END END + delta AS st,
+            CASE seg_idx WHEN 0 THEN (l + off) // 3
+                 WHEN 1 THEN (l + off) // 3 + CASE WHEN (l + off) % 3 = 2 THEN 1 ELSE 0 END
+                 ELSE (l + off) // 3 + CASE WHEN (l + off) % 3 >= 1 THEN 1 ELSE 0 END END AS sl
+          FROM base,
+               (SELECT unnest([-2, -1, 0, 1, 2]) AS off) tl,
+               segs,
+               (SELECT unnest([-2, -1, 0, 1, 2]) AS delta) dl)
+        WHERE tlen >= 3 AND st >= 1 AND st + sl - 1 <= m),
+      cand AS (SELECT DISTINCT a_key, a_str, b_key, b_str
+               FROM idx JOIN probe USING (seg_idx, tlen, seg)
+               WHERE a_key < b_key)
+      SELECT a_key, b_key, CAST(levenshtein(a_str, b_str) AS BIGINT) AS lev
+      FROM cand WHERE levenshtein(a_str, b_str) <= 2
+      ORDER BY a_key, b_key"""))
+
+  val all: Seq[GraftQuery] = Seq(q56, q79)
 }

@@ -76,6 +76,42 @@ object PipelineOps {
     None,
     note = "Ratcliff/Obershelp has no SQL twin; pinned to difflib in tests")
 
+  /** The reference's relaxed-threshold near-miss debug scan
+    * (movie_generator.py:629-648: report every corpus entry with
+    * SequenceMatcher ratio > 0.7 — BELOW the 0.85 dedup cut — so a human
+    * can see why something was or wasn't deduped), run corpus-wide as the
+    * same blocked self-join as q46. Oracle discipline: the pair set is
+    * gated on the normalized-levenshtein twin metric (exact int/int
+    * division → bit-identical doubles in both engines, so both the 0.7
+    * comparison and the sim-ordered output hash-match); the
+    * Ratcliff/Obershelp form of the same scan is q46, pinned to difflib
+    * goldens in FunctionsSpec. */
+  private val q77 = GraftQuery(
+    "q77_fuzzy_near_miss_debug",
+    (s, d) => {
+      import graft.functions.TextFunctions.levRatio
+      val p = t(s, d, "part")
+      val a = p.repartition(s.sparkContext.defaultParallelism)
+        .select(col("p_brand"), col("p_type"), col("p_partkey").as("a_key"),
+          col("p_name").as("a_name"))
+      val b = p.select(col("p_brand"), col("p_type"), col("p_partkey").as("b_key"),
+        col("p_name").as("b_name"))
+      a.join(b, Seq("p_brand", "p_type"))
+        .filter(col("a_key") < col("b_key"))
+        .withColumn("sim", levRatio(lower(col("a_name")), lower(col("b_name"))))
+        .filter(col("sim") > 0.7)
+        .select(col("p_brand"), col("a_key"), col("b_key"), col("sim"))
+        .orderBy(col("sim").desc, col("a_key"), col("b_key"))
+    },
+    Some("""SELECT p_brand, a_key, b_key, sim FROM (
+      SELECT a.p_brand, a.p_partkey AS a_key, b.p_partkey AS b_key,
+        1.0 - CAST(levenshtein(lower(a.p_name), lower(b.p_name)) AS DOUBLE) /
+          greatest(length(lower(a.p_name)), length(lower(b.p_name))) AS sim
+      FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        AND a.p_partkey < b.p_partkey)
+      WHERE sim > 0.7
+      ORDER BY sim DESC, a_key, b_key"""))
+
   /** Pipeline cost accounting per source (SURVEY A7/F11): exact integer
     * nanodollar arithmetic so the sum is associative and oracle-stable. */
   private val q47 = GraftQuery(
@@ -95,5 +131,79 @@ object PipelineOps {
       CAST(sum(${graft.pipeline.CostModel.costNanosSql("n_chars")}) AS BIGINT) / 1e9 AS cost_usd
       FROM documents GROUP BY source ORDER BY source"""))
 
-  val all: Seq[GraftQuery] = Seq(q45, q46, q47)
+  /** G3 — the generate-with-retry loop's batch analog (movie_generator.py:
+    * 182-238: request a batch, reject dups against the corpus, retry up to
+    * 8 attempts until `target` accepted): in batch dataflow the retry
+    * becomes OVERSAMPLE → dedup (exact key anti-join + fuzzy band-join,
+    * both vs the seen corpus AND within the batch) → cut to target. One
+    * declarative pass instead of a driver-side loop — at scale the
+    * oversample factor plays the role of the attempt budget.
+    *
+    * "Generated" candidates are derived deterministically from documents
+    * (title = two leading tokens, synthesized year) with a seen-corpus
+    * slice (every 5th doc) so both dedup stages genuinely reject rows;
+    * fuzzy uses the normalized-levenshtein metric (bit-exact parity — the
+    * Ratcliff form of the same band join is MoviePipeline.dedupFuzzy). */
+  private val q78 = GraftQuery(
+    "q78_oversample_dedup_limit",
+    (s, d) => {
+      import graft.functions.TextFunctions.{levRatio, normKey}
+      import org.apache.spark.sql.expressions.Window
+      val target = 100; val oversample = 3
+      val toks = split(col("text"), " ")
+      val shaped = t(s, d, "documents").select(
+        col("doc_id"),
+        concat_ws(" ", element_at(toks, 1), element_at(toks, 2)).as("title"),
+        (lit(1950) + col("doc_id") % 60).cast("int").as("year"))
+      val cand = shaped.orderBy(col("doc_id")).limit(target * oversample)
+      val seen = shaped.filter(col("doc_id") % 5 === 0)
+        .select(col("title"), col("year"))
+      // exact-key rejection vs corpus (movie_generator.py:201-204)
+      val exactFresh = MoviePipeline.dedupExact(cand, seen)
+      // fuzzy rejection vs corpus: ±1-year band as a 2-year-bucket
+      // equi-join (the O7 rewrite), normalized-levenshtein >= 0.9
+      val cb = exactFresh
+        .withColumn("ck", normKey(col("title")))
+        .withColumn("bucket", explode(array(
+          floor((col("year") - 1) / 2), floor((col("year") + 1) / 2))))
+      val sb = seen
+        .select(normKey(col("title")).as("sk"), col("year").as("s_year"))
+        .withColumn("bucket", floor(col("s_year") / 2))
+      val dupIds = cb.join(sb, Seq("bucket"))
+        .filter(abs(col("year") - col("s_year")) <= 1)
+        .filter(levRatio(col("ck"), col("sk")) >= 0.9)
+        .select(col("doc_id")).distinct()
+      val fresh = exactFresh.join(dupIds, Seq("doc_id"), "left_anti")
+      // batch-internal dedup: first occurrence per key wins, then cut
+      val w = Window.partitionBy(normKey(col("title")), col("year"))
+        .orderBy(col("doc_id"))
+      fresh.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .orderBy(col("doc_id")).limit(target)
+        .select(col("doc_id"), col("title"), col("year"))
+    },
+    Some("""WITH shaped AS (
+        SELECT doc_id,
+          string_split(text, ' ')[1] || ' ' || string_split(text, ' ')[2] AS title,
+          CAST(1950 + doc_id % 60 AS INT) AS year
+        FROM documents),
+      cand AS (SELECT * FROM shaped ORDER BY doc_id LIMIT 300),
+      seen AS (SELECT lower(trim(title)) AS sk, year AS s_year
+               FROM shaped WHERE doc_id % 5 = 0),
+      ex AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+        SELECT 1 FROM seen
+        WHERE sk = lower(trim(c.title)) AND s_year = c.year)),
+      fz AS (SELECT e.* FROM ex e WHERE NOT EXISTS (
+        SELECT 1 FROM seen
+        WHERE abs(e.year - s_year) <= 1
+          AND 1.0 - CAST(levenshtein(lower(trim(e.title)), sk) AS DOUBLE) /
+                greatest(length(lower(trim(e.title))), length(sk)) >= 0.9)),
+      uniq AS (SELECT doc_id, title, year,
+          row_number() OVER (PARTITION BY lower(trim(title)), year
+                             ORDER BY doc_id) AS rn
+        FROM fz)
+      SELECT doc_id, title, year FROM uniq WHERE rn = 1
+      ORDER BY doc_id LIMIT 100"""))
+
+  val all: Seq[GraftQuery] = Seq(q45, q46, q47, q77, q78)
 }

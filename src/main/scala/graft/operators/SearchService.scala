@@ -109,6 +109,56 @@ object SearchService {
         substring(col("text"), 1, 50).as("snippet"))
   }
 
+  /** The profile JSON the reference loads from its working directory
+    * (search.py:64-74 load_local_profile; field names from routes.py:65-77:
+    * favorite_genres / watched_movies / liked_movies / reviews). A small
+    * side-input config file, not scale data — absolute path so the Spark
+    * read and the DuckDB oracle (read_json_auto) see the same bytes. */
+  val ProfilePath: String =
+    sys.props.getOrElse("graft.profile.path", "/root/repo/data/profile.json")
+
+  /** Profile-personalized search (routes.py:65-77 builds user_context from
+    * the JSON profile and feeds it to the personalized analysis): the
+    * profile is a 1-row broadcast side — `watched_movies` anti-joins the
+    * candidates out (never re-recommend), `favorite_genres` boosts via a
+    * two-tier ordering (favorite-label matches first, then cosine rank).
+    * At scale the profile side stays O(1); both the anti-join and the
+    * boost join broadcast, so the only distributed pass is the scored
+    * scan — same shape as q20. */
+  private val q76 = GraftQuery(
+    "q76_profile_personalized",
+    (s, d) => {
+      val profile = s.read.option("multiLine", "true").json(ProfilePath)
+      val watched = profile.select(explode(col("watched_movies")).as("w_id"))
+      val favs = profile.select(explode(col("favorite_genres")).as("fav_label"))
+      val qv = t(s, d, "embeddings")
+        .filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val scored = t(s, d, "embeddings")
+        .join(broadcast(watched), col("vec_id") === col("w_id"), "left_anti")
+        .crossJoin(broadcast(qv))
+        .withColumn("score", cosine(col("embedding"), col("qvec")))
+        .join(broadcast(favs), col("label") === col("fav_label"), "left")
+        .withColumn("is_fav", col("fav_label").isNotNull)
+      val top = scored
+        .orderBy(col("is_fav").desc, col("score").desc, col("vec_id"))
+        .limit(20)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("is_fav").desc, col("score").desc, col("vec_id"))).cast("long"))
+        .select(col("rank"), col("vec_id"), col("label"), col("is_fav"))
+    },
+    Some(s"""WITH p AS (SELECT * FROM read_json_auto('$ProfilePath')),
+      watched AS (SELECT unnest(watched_movies) AS w_id FROM p),
+      favs AS (SELECT unnest(favorite_genres) AS fav_label FROM p),
+      q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      s AS (SELECT vec_id, label,
+              list_cosine_similarity(embedding, qvec) AS score,
+              label IN (SELECT fav_label FROM favs) AS is_fav
+            FROM embeddings, q
+            WHERE vec_id NOT IN (SELECT w_id FROM watched))
+      SELECT row_number() OVER (ORDER BY is_fav DESC, score DESC, vec_id) AS rank,
+             vec_id, label, is_fav
+      FROM s ORDER BY is_fav DESC, score DESC, vec_id LIMIT 20"""))
+
   /** The API surface as a registry query: requested limit 500 → clamped
     * to 100 (the FIXTURES §2.3 clamp fixture, at query level). */
   private val q29 = GraftQuery(
@@ -128,5 +178,5 @@ object SearchService {
         substr(text, 1, 50) AS snippet
       FROM r ORDER BY score DESC, doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q29)
+  val all: Seq[GraftQuery] = Seq(q29, q76)
 }

@@ -195,40 +195,82 @@ object VectorSearch {
     * rank clusters against the query vector, probe only the top-`nprobe`
     * cells, exact-rescore inside them. Cuts the scored set from N to
     * N·nprobe/cells, the same contract as the reference's ANN
-    * `numCandidates` cap (ai_service.py:68). Float centroid averaging has
-    * no stable cross-engine twin → rows-only; recall vs exact top-k is
-    * asserted in VectorSearchSpec. */
+    * `numCandidates` cap (ai_service.py:68).
+    *
+    * Oracle discipline (why this is hash-checkable end to end): centroids
+    * are EXACT INTEGERS — each element is fixed-pointed to
+    * round(v·1e6) (44-bit-exact double product, identical
+    * half-away-from-zero rounding in both engines), summed exactly per
+    * (cell, pos), then floor(sum/n)-normalized (count cancels in cosine,
+    * the division only bounds magnitude scale-independently: |cv| ≤ 1e6·
+    * max|v| regardless of rows per cell). Cell scores are then
+    * dot/sqrt(na·nb) over those integers: the integer aggregates are exact
+    * (≤2.3e13 « 2^53), and the final double divide/sqrt is a fixed IEEE
+    * op sequence — both engines produce bit-identical cscores, so the
+    * nprobe cut can never diverge. The inner rescore emits ranks under the
+    * established float32-vs-double gap discipline (header note). */
   private val q26 = GraftQuery(
     "q26_ivf_ann_topk",
     (s, d) => {
       // synthetic labels are weak quantizer cells (near-random vectors),
       // so half the cells are probed; real IVF cells come from k-means
-      // and probe far fewer
+      // (q65) and probe far fewer
       val nprobe = 5
       val k = 10
+      val scale = 1000000L
       val emb = t(s, d, "embeddings")
-      // centroids: elementwise mean per label via posexplode + re-assembly
-      val cent = emb
+      def fx(v: Column): Column = round(v.cast("double") * scale).cast("long")
+      val ex = emb
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
+        .select(col("label"), col("pos"), fx(col("v")).as("ev"))
+      // integer centroid: exact per-(cell,pos) sum, floor-div by cell size
+      val cent = ex.groupBy(col("label"), col("pos"))
+        .agg(sum(col("ev")).as("sv"), count(lit(1)).as("n"))
+        .select(col("label"),
+          col("pos"), floor(col("sv").cast("double") / col("n")).as("cv"))
+      val qf = emb.filter(col("vec_id") === 0)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("pos"), fx(col("v")).as("qv"))
+      val probed = cent.join(broadcast(qf), Seq("pos"))
         .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+        .agg(sum(col("cv") * col("qv")).as("dot"),
+          sum(col("cv") * col("cv")).as("na"),
+          sum(col("qv") * col("qv")).as("nb"))
         .select(col("label").as("c_label"),
-          transform(col("pcs"), p => p.getField("cv").cast("float")).as("centroid"))
-      val q = queryVec(s, d, 0)
-      val probed = cent.crossJoin(broadcast(q))
-        .withColumn("cscore", cosine(col("centroid"), col("qvec")))
+          (col("dot").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double"))).as("cscore"))
         .orderBy(col("cscore").desc, col("c_label"))
         .limit(nprobe)
         .select(col("c_label"))
       val scored = emb
         .join(broadcast(probed), col("label") === col("c_label"))
-        .crossJoin(broadcast(q))
+        .crossJoin(broadcast(queryVec(s, d, 0)))
         .withColumn("score", cosine(col("embedding"), col("qvec")))
       ranked(scored, k, "vec_id").select(col("rank"), col("vec_id"), col("label"))
     },
-    None,
-    note = "IVF cluster-probed ANN; float centroids have no stable SQL twin")
+    Some("""WITH ex AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS ev
+        FROM embeddings),
+      cent AS (
+        SELECT label, pos,
+               CAST(floor(CAST(sum(ev) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        FROM ex GROUP BY label, pos),
+      qf AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        FROM embeddings WHERE vec_id = 0),
+      probed AS (
+        SELECT label,
+               CAST(sum(cv * qv) AS DOUBLE) /
+                 sqrt(CAST(sum(cv * cv) AS DOUBLE) * CAST(sum(qv * qv) AS DOUBLE)) AS cscore
+        FROM cent JOIN qf USING (pos) GROUP BY label
+        ORDER BY cscore DESC, label LIMIT 5),
+      q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      s AS (SELECT vec_id, e.label, list_cosine_similarity(embedding, qvec) AS score
+            FROM embeddings e JOIN probed USING (label), q)
+      SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank, vec_id, label
+      FROM s ORDER BY score DESC, vec_id LIMIT 10"""))
 
   val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26)
 }

@@ -103,6 +103,44 @@ class QueriesSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("q79 PassJoin k=2 finds exactly the brute-force ed<=2 pairs on part names") {
+    val p = Tables.t(spark, sf, "part").select(col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_partkey").as("ak"), col("p_name").as("an"))
+    val b = p.select(col("p_partkey").as("bk"), col("p_name").as("bn"))
+    val brute = a.crossJoin(b).filter(col("ak") < col("bk"))
+      .filter(levenshtein(col("an"), col("bn")) <= 2)
+      .select(col("ak"), col("bk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pass = QueryRegistry.byName("q79_passjoin_k2_varlen").fn(spark, sf)
+      .select(col("a_key"), col("b_key")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pass == brute, s"missing=${brute -- pass} extra=${pass -- brute}")
+  }
+
+  test("PassJoin k=2 is lossless on synthetic variable-length strings") {
+    import spark.implicits._
+    // deterministic corpus with substitutions, insertions, AND deletions —
+    // exercises the cross-length (|Δlen| in {1,2}) candidate paths
+    val rnd = new scala.util.Random(13)
+    val strs = (0L until 300L).map { i =>
+      (i, (0 until 6 + rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val df = strs.toDF("k", "s")
+    val a = df.select(col("k").as("ak"), col("s").as("an"))
+    val b = df.select(col("k").as("bk"), col("s").as("bn"))
+    val brute = a.crossJoin(b).filter(col("ak") < col("bk"))
+      .filter(levenshtein(col("an"), col("bn")) <= 2)
+      .select("ak", "bk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pass = graft.operators.EditDistanceJoin.selfJoinK2(df, "k", "s")
+      .select("a_key", "b_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pass == brute, s"missing=${brute -- pass} extra=${pass -- brute}")
+    // the synthetic corpus must actually contain cross-length pairs
+    val lens = strs.toMap
+    assert(brute.exists { case (x, y) => lens(x).length != lens(y).length },
+      "corpus has no cross-length ed<=2 pairs — test would not cover them")
+  }
+
   test("PassJoin k=1 is lossless on synthetic varied-prefix strings") {
     import spark.implicits._
     // deterministic corpus with entropy spread across the whole string
@@ -170,9 +208,33 @@ class QueriesSpec extends SparkSpec {
     val rowsOnly = QueryRegistry.queries.filter(_.oracle.isEmpty).map(_.name)
     assert(rowsOnly.toSet ==
       Set("q60_embed_tfidf", "q61_lsh_ann_topk", "q46_ratcliff_fuzzy_pairs",
-        "q26_ivf_ann_topk", "q64_multimodal_batch_decode", "q65_ivf_kmeans_topk",
-        "q70_embed_word2vec"))
+        "q64_multimodal_batch_decode", "q65_ivf_kmeans_topk"))
     assert(SparkEntry.oracleSql.keySet ==
       SparkEntry.queries.keySet -- rowsOnly)
+  }
+
+  test("MLlib Word2Vec invariants at full parallelism (no repartition(1))") {
+    // Word2Vec's distributed gradient order is nondeterministic, so we pin
+    // aggregate invariants, not vectors: full vocabulary is learned, every
+    // doc gets a finite vector of the right width, norms are bounded.
+    import org.apache.spark.ml.feature.{Tokenizer, Word2Vec}
+    val docs = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+    val words = tok.transform(docs)
+    val model = new Word2Vec().setInputCol("words").setOutputCol("vec")
+      .setVectorSize(16).setSeed(42).setMinCount(1).setMaxIter(1).fit(words)
+    val vocab = model.getVectors.count()
+    val distinctToks = words
+      .select(explode(col("words")).as("w")).filter(col("w") =!= "")
+      .distinct().count()
+    assert(vocab == distinctToks, s"vocab=$vocab tokens=$distinctToks")
+    import org.apache.spark.ml.linalg.Vector
+    val norms = model.transform(words).select(col("vec"))
+      .collect().map(_.getAs[Vector]("vec"))
+    assert(norms.length == docs.count())
+    assert(norms.forall(v => v.size == 16 &&
+      v.toArray.forall(x => !x.isNaN && !x.isInfinite)))
+    val maxNorm = norms.map(v => math.sqrt(v.toArray.map(x => x * x).sum)).max
+    assert(maxNorm < 100.0, s"unbounded embedding norm $maxNorm")
   }
 }
