@@ -59,14 +59,16 @@ object EditDistanceJoin {
         struct(lit(1).as("seg_idx"), expr("substr(sfx, s0len)").as("seg"))
       )).as("s"))
       .select(col("b_key"), col("b_sfx"), col("s.seg_idx"), col("s.seg"))
-      .distinct()
+    // verify-then-int-dedup (see selfJoinK2): thresholded levenshtein runs
+    // map-side right after the join; the only wide shuffle carries
+    // (a_key, b_key, lev) ints, with partial aggregation collapsing
+    // duplicate candidates before they move.
     index.join(probe, Seq("seg_idx", "seg"))
       .filter(col("a_key") < col("b_key"))
-      .select(col("a_key"), col("a_sfx"), col("b_key"), col("b_sfx"))
-      .distinct()
       .withColumn("lev", levenshtein(col("a_sfx"), col("b_sfx"), 1).cast("long"))
       .filter(col("lev") >= 0)
-      .drop("a_sfx", "b_sfx")
+      .groupBy(col("a_key"), col("b_key"))
+      .agg(min(col("lev")).as("lev"))
   }
 
   /** PassJoin generalized to ed <= 2 over VARIABLE-LENGTH strings — the
@@ -106,25 +108,33 @@ object EditDistanceJoin {
         "inline(array(" + (0 until 3).map(i =>
           s"struct($i AS seg_idx, substr(a_str, ${startE(i, "tlen")}, ${lenE(i, "tlen")}) AS seg)")
           .mkString(", ") + "))")
+    // Anchored position bounds (tighter than a blanket |δ| <= k, still a
+    // superset of true matches): segment 0 has nothing before it in v, so
+    // only insertions can precede its match in u → start ∈ [1, 1+k];
+    // segment 2 has nothing after it, so its match must END in [m-k, m];
+    // only the middle segment needs the full ±k shift window.
+    val probeStructs =
+      (0 to 2).map(j => s"struct(0 AS seg_idx, ${1 + j} AS st, ${lenE(0, "tlen")} AS sl)") ++
+      (-2 to 2).map(dl => s"struct(1 AS seg_idx, (${startE(1, "tlen")} + $dl) AS st, ${lenE(1, "tlen")} AS sl)") ++
+      (0 to 2).map(j => s"struct(2 AS seg_idx, (m - $j - ${lenE(2, "tlen")} + 1) AS st, ${lenE(2, "tlen")} AS sl)")
     val probe = base
       .selectExpr("key AS b_key", "str AS b_str", "length(str) AS m")
       .selectExpr("b_key", "b_str", "m", "explode(sequence(m - 2, m + 2)) AS tlen")
       .filter(col("tlen") >= 3)
-      .selectExpr("b_key", "b_str", "m", "tlen", "explode(sequence(-2, 2)) AS delta")
       .selectExpr("b_key", "b_str", "m", "tlen",
-        "inline(array(" + (0 until 3).map(i =>
-          s"struct($i AS seg_idx, (${startE(i, "tlen")} + delta) AS st, ${lenE(i, "tlen")} AS sl)")
-          .mkString(", ") + "))")
+        "inline(array(" + probeStructs.mkString(", ") + "))")
       .filter(col("st") >= 1 && col("st") + col("sl") - 1 <= col("m"))
       .selectExpr("b_key", "b_str", "tlen", "seg_idx", "substr(b_str, st, sl) AS seg")
-      .distinct()
+    // Verify IMMEDIATELY with the thresholded (banded, early-abandon)
+    // levenshtein, then dedup duplicate candidates on INTEGER keys only —
+    // the partial aggregate collapses dups map-side, so the only wide
+    // shuffle carries (a_key, b_key, lev) ints, never candidate strings.
     idx.join(probe, Seq("seg_idx", "tlen", "seg"))
       .filter(col("a_key") < col("b_key"))
-      .select(col("a_key"), col("a_str"), col("b_key"), col("b_str"))
-      .distinct()
       .withColumn("lev", levenshtein(col("a_str"), col("b_str"), 2).cast("long"))
       .filter(col("lev") >= 0)
-      .drop("a_str", "b_str")
+      .groupBy(col("a_key"), col("b_key"))
+      .agg(min(col("lev")).as("lev"))
   }
 
   /** PassJoin over customer names, global — no metadata blocking key
@@ -164,7 +174,13 @@ object EditDistanceJoin {
       ORDER BY a_key, b_key"""))
 
   /** q56b — the k=2 variable-length PassJoin over part names (multi-word,
-    * varied lengths — the title-dedup shape). */
+    * varied lengths — the title-dedup shape). OUTPUT-BOUND by design: TPC-H
+    * part names are drawn from a ~92-word vocabulary, so at sf0.1 ~2.75%
+    * of ALL pairs are true ed<=2 matches (5.5M result rows from 20k
+    * strings); verification cost tracks the true result size, which no
+    * candidate scheme can beat. The plan itself is scale-clean: segment
+    * equi-join, banded thresholded levenshtein map-side, and an
+    * integer-only shuffle with map-side partial aggregation. */
   private val q79 = GraftQuery(
     "q79_passjoin_k2_varlen",
     (s, d) => {

@@ -20,31 +20,49 @@ import org.apache.spark.sql.functions._
   */
 object MLPipelineOps {
 
-  /** Deterministic embedding generation: text → Tokenizer → HashingTF(64)
-    * → IDF. Hash-based, seed-free, reproducible across runs/executors.
-    * Output: per-doc feature norm + non-zero count (rows-only check). */
+  /** Deterministic hashed TF-IDF embedding generation — the feature-
+    * hashing pipeline (tokens → 64 hash buckets → tf × idf weights) with
+    * every stage engine-portable so the whole embedding is HASH-CHECKED:
+    * md5 replaces murmur3 for the bucket hash (the only cross-engine
+    * hash), and the idf is integer-quantized — idf(df) = 1 +
+    * floor(log2((N+1)/(df+1))), computed exactly via length(bin(x))-1
+    * (libm log/ln is NOT bit-portable across engines; binary-string
+    * length is). Output: per-doc non-zero bucket count + exact integer
+    * weighted norm². The MLlib Tokenizer→HashingTF→IDF form of the same
+    * pipeline is pinned by invariant tests (QueriesSpec "MLlib TF-IDF"). */
   private val q60 = GraftQuery(
-    "q60_embed_tfidf",
+    "q60_embed_tfidf_hashed",
     (s, d) => {
-      import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
-      val tf = new HashingTF().setInputCol("words").setOutputCol("tf")
-        .setNumFeatures(64)
-      val idf = new IDF().setInputCol("tf").setOutputCol("features")
-      val tfDf = tf.transform(tok.transform(docs))
-      val out = idf.fit(tfDf).transform(tfDf)
-      import org.apache.spark.ml.linalg.Vector
-      val normNnz = udf((v: Vector) =>
-        (math.sqrt(v.toArray.map(x => x * x).sum), v.numNonzeros))
-      out.select(col("doc_id"),
-          normNnz(col("features")).as("s"))
+      import graft.functions.TextFunctions.tokens
+      val docs = t(s, d, "documents")
+      val nDf = docs.agg(count(lit(1)).as("n"))
+      val b = docs
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
         .select(col("doc_id"),
-          round(col("s._1"), 4).as("tfidf_norm"), col("s._2").as("nnz"))
+          (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % 64).as("bucket"))
+      val tf = b.groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
+      val dfreq = b.groupBy(col("bucket")).agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(broadcast(dfreq), Seq("bucket"))
+        .crossJoin(broadcast(nDf))
+        .withColumn("wt",
+          col("tf") * (length(bin(expr("(n + 1) div (df + 1)"))).cast("long")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nnz"), sum(col("wt") * col("wt")).as("norm_sq"))
         .orderBy(col("doc_id"))
     },
-    None,
-    note = "MLlib hashing — no SQL twin; rows-only check")
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents),
+      b AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket
+            FROM toks),
+      tf AS (SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY doc_id, bucket),
+      dfreq AS (SELECT bucket, count(DISTINCT doc_id) AS df FROM b GROUP BY bucket),
+      n AS (SELECT count(*) AS n FROM documents)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz,
+             CAST(sum(wt * wt) AS BIGINT) AS norm_sq
+      FROM (SELECT doc_id, tf * CAST(length(bin((n + 1) // (df + 1))) AS BIGINT) AS wt
+            FROM tf JOIN dfreq USING (bucket), n)
+      GROUP BY doc_id ORDER BY doc_id"""))
 
   /** ANN via BucketedRandomProjectionLSH — the scale path for top-k
     * (numCandidates analog, SURVEY T4/O3): bucket the corpus, probe the
@@ -168,7 +186,10 @@ object MLPipelineOps {
       val sample = t(s, d, "embeddings")
         .filter(pmod(col("vec_id"), lit(4)) === 0)
         .select(array_to_vector(col("embedding")).as("features"))
+      // random init (seeded) skips k-means||'s extra passes; a coarse
+      // quantizer doesn't need converged clusters, just balanced cells
       new KMeans().setK(nCells).setSeed(42)
+        .setInitMode("random").setMaxIter(10)
         .setFeaturesCol("features").setPredictionCol("cell").fit(sample)
     })
 

@@ -207,10 +207,35 @@ class QueriesSpec extends SparkSpec {
   test("oracleSql covers every query except the declared rows-only ones") {
     val rowsOnly = QueryRegistry.queries.filter(_.oracle.isEmpty).map(_.name)
     assert(rowsOnly.toSet ==
-      Set("q60_embed_tfidf", "q61_lsh_ann_topk", "q46_ratcliff_fuzzy_pairs",
+      Set("q61_lsh_ann_topk", "q46_ratcliff_fuzzy_pairs",
         "q64_multimodal_batch_decode", "q65_ivf_kmeans_topk"))
     assert(SparkEntry.oracleSql.keySet ==
       SparkEntry.queries.keySet -- rowsOnly)
+  }
+
+  test("MLlib Tokenizer->HashingTF->IDF invariants (S9 embedding source)") {
+    // the MLlib form of q60's hashed-TF-IDF pipeline: hash-based and
+    // seed-free, so invariants are deterministic at full parallelism
+    import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+    val docs = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+    val tf = new HashingTF().setInputCol("words").setOutputCol("tf")
+      .setNumFeatures(64)
+    val tfDf = tf.transform(tok.transform(docs))
+    val out = new IDF().setInputCol("tf").setOutputCol("features")
+      .fit(tfDf).transform(tfDf)
+    import org.apache.spark.ml.linalg.Vector
+    val feats = out.select(col("doc_id"), col("features")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Vector]("features")).toMap
+    assert(feats.size == docs.count())
+    assert(feats.values.forall(v => v.size == 64 &&
+      v.toArray.forall(x => x >= 0 && !x.isNaN && !x.isInfinite)))
+    // idempotent: a second fit+transform reproduces identical vectors
+    val again = new IDF().setInputCol("tf").setOutputCol("features")
+      .fit(tfDf).transform(tfDf)
+      .select(col("doc_id"), col("features")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Vector]("features")).toMap
+    assert(again == feats)
   }
 
   test("MLlib Word2Vec invariants at full parallelism (no repartition(1))") {
