@@ -272,5 +272,81 @@ object VectorSearch {
       SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank, vec_id, label
       FROM s ORDER BY score DESC, vec_id LIMIT 10"""))
 
-  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26)
+  /** Deterministic multi-probe sign-LSH ANN — the random-hyperplane LSH
+    * rung of the ANN ladder (q61 is the MLlib form), built so the ENTIRE
+    * approximate path is hash-checked: hyperplanes are md5-derived integer
+    * vectors (component = md5("j|pos") % 2001 - 1000), signatures are the
+    * SIGNS of exact integer dot products (fixed-point embedding × integer
+    * hyperplane — |dot| <= 64·5.8e5·1000 ≈ 3.7e10, exact in int64), the
+    * 6-bit bucket id is the packed sign bits, and the probe set is the
+    * query's bucket plus all Hamming-1 neighbors (7 of 64 buckets —
+    * multi-probe LSH's recall-vs-candidates dial). Exact cosine rescoring
+    * inside probed buckets emits ranks under the float32 gap discipline.
+    * At 100 TB the bucket id is the shuffle/partition key and the scored
+    * set is ~7/64 of the corpus — the same contract as the reference's
+    * numCandidates cap (ai_service.py:68). */
+  private val q80 = GraftQuery(
+    "q80_lsh_signbit_ann",
+    (s, d) => {
+      val scale = 1000000L; val bits = 6; val dim = 64; val k = 10
+      val emb = t(s, d, "embeddings")
+      def fx(v: Column): Column = round(v.cast("double") * scale).cast("long")
+      // hyperplane table: bits × dim integer components (tiny, broadcast)
+      val hyp = s.range(0, bits).toDF("jj")
+        .select(col("jj").cast("int").as("j"))
+        .select(col("j"),
+          posexplode(transform(sequence(lit(0), lit(dim - 1)),
+            i => conv(substring(md5(concat(col("j").cast("string"), lit("|"),
+              i.cast("string"))), 1, 8), 16, 10).cast("long") % 2001 - 1000))
+            .as(Seq("pos", "hv")))
+      val ex = emb
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"), fx(col("v")).as("ev"))
+      val sig = ex.join(broadcast(hyp), Seq("pos"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("ev") * col("hv")).as("dp"))
+        .groupBy(col("vec_id"))
+        .agg(sum(when(col("dp") >= 0, expr("shiftleft(1, j)"))
+          .otherwise(lit(0))).as("bucket"))
+      val qb = sig.filter(col("vec_id") === 0).select(col("bucket").as("qbucket"))
+      val flips = s.range(0, bits + 1).toDF("f")
+        .select(when(col("f") === bits, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(f AS INT))")).as("flip"))
+      val probes = qb.crossJoin(flips)
+        .select(col("qbucket").bitwiseXOR(col("flip")).as("pbucket"))
+      val cand = sig.join(broadcast(probes), col("bucket") === col("pbucket"))
+        .select(col("vec_id"))
+      val scored = emb.join(cand, Seq("vec_id"))
+        .crossJoin(broadcast(queryVec(s, d, 0)))
+        .withColumn("score", cosine(col("embedding"), col("qvec")))
+      ranked(scored, k, "vec_id").select(col("rank"), col("vec_id"), col("label"))
+    },
+    Some("""WITH hyp AS (
+        SELECT j, pos,
+               ('0x' || substr(md5(j::VARCHAR || '|' || pos::VARCHAR), 1, 8))::BIGINT
+                 % 2001 - 1000 AS hv
+        FROM range(6) r(j), range(64) p(pos)),
+      ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS ev
+        FROM embeddings),
+      dots AS (
+        SELECT vec_id, j, CAST(sum(ev * hv) AS BIGINT) AS dp
+        FROM ex JOIN hyp USING (pos) GROUP BY vec_id, j),
+      sig AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dp >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id),
+      probes AS (
+        SELECT DISTINCT xor(bucket, f) AS pbucket
+        FROM (SELECT bucket FROM sig WHERE vec_id = 0),
+             (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS f)),
+      cand AS (SELECT vec_id FROM sig JOIN probes ON bucket = pbucket),
+      q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      s AS (SELECT e.vec_id, e.label, list_cosine_similarity(embedding, qvec) AS score
+            FROM embeddings e JOIN cand USING (vec_id), q)
+      SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank, vec_id, label
+      FROM s ORDER BY score DESC, vec_id LIMIT 10"""))
+
+  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q80)
 }

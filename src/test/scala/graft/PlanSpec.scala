@@ -53,4 +53,26 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q01_pricing_summary")
     assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
   }
+
+  test("q26/q80: ANN probe sides broadcast; no cartesian in the probe joins") {
+    for (name <- Seq("q26_ivf_ann_topk", "q80_lsh_signbit_ann")) {
+      val p = planOf(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: probe set not broadcast\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian in ANN path")
+      assert(p.contains("TakeOrderedAndProject"), s"$name: rescore top-k is a global sort")
+    }
+  }
+
+  test("q79: PassJoin candidates come from an equi join; shuffle carries no strings after verify") {
+    val p = planOf("q79_passjoin_k2_varlen")
+    assert(!p.contains("CartesianProduct"), "segment join degenerated to cartesian")
+    // verify-then-int-dedup: the final aggregate is partial+final on ints
+    assert(p.contains("partial_min"), s"no map-side partial dedup aggregate in:\n$p")
+  }
+
+  test("q76: profile side-inputs broadcast (anti-join and boost join)") {
+    val p = planOf("q76_profile_personalized")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "profile join fell back to SMJ")
+  }
 }

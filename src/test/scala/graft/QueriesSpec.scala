@@ -71,6 +71,16 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.6, s"kmeans-IVF recall $recall")
   }
 
+  test("q80 sign-LSH ANN recalls at least 20% of the exact top-10") {
+    val exact = QueryRegistry.byName("q20_vector_topk").fn(spark, sf)
+      .orderBy("rank").select("vec_id").collect().map(_.getLong(0)).take(10).toSet
+    val lsh = QueryRegistry.byName("q80_lsh_signbit_ann").fn(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(lsh.nonEmpty)
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.2, s"sign-LSH recall $recall")
+  }
+
   test("q61 LSH ANN recalls at least 30% of the exact top-10") {
     val exact = QueryRegistry.byName("q20_vector_topk").fn(spark, sf)
       .orderBy("rank").select("vec_id").collect().map(_.getLong(0)).take(10).toSet
