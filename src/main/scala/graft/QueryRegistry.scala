@@ -23,7 +23,8 @@ object QueryRegistry {
       operators.PipelineOps.all ++
       operators.SqlSurface.all ++
       operators.SearchService.all ++
-      operators.EditDistanceJoin.all
+      operators.EditDistanceJoin.all ++
+      operators.CurationOps.all
 
   lazy val byName: Map[String, GraftQuery] =
     queries.map(q => q.name -> q).toMap

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond the reference's surface (brief:
+  * "the operations a large-scale training-data pipeline would need"):
+  * near-duplicate CLUSTERING (pair lists are not enough — a real dedup
+  * pipeline groups transitively-connected near-dups and keeps one
+  * canonical document per group), and deterministic stratified
+  * sampling / train-val-test splitting (hash-based, never rand() — the
+  * only reproducible, retry-stable, shuffle-free way to sample at 100 TB).
+  */
+object CurationOps {
+
+  /** Connected components by iterative min-label propagation — the
+    * Pregel/GraphX pattern as pure DataFrame dataflow: every node starts
+    * as its own component id; each round every node takes the min of its
+    * own id and its neighbors' ids; fixpoint after O(diameter) rounds.
+    * Each round is one hash equi-join + partial-aggregated groupBy (the
+    * same shuffle key throughout), `localCheckpoint` truncates the plan
+    * lineage so round N's plan does not embed rounds 1..N-1, and the
+    * per-round convergence check is a scalar count (the standard Pregel
+    * driver hop, not a data collect). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    // symmetric neighbor list
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var comp = nodes.select(col("key"), col("key").as("comp")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(comp, sym("src") === comp("key"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("nbr_comp"))
+      val updated = comp.as("c")
+        .join(nbrMin, col("c.key") === nbrMin("dst"), "left")
+        .select(col("c.key").as("key"),
+          least(col("c.comp"), coalesce(col("nbr_comp"), col("c.comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = updated.as("n")
+        .join(comp.as("o"), col("n.key") === col("o.key"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      comp = updated
+      converged = changed == 0
+      iter += 1
+    }
+    comp
+  }
+
+  /** q81 — near-dup clustering over one blocking partition: ed<=1 pairs
+    * (PassJoin, q56's operator) within a nation block of customer names
+    * become edges; connected components give the dedup groups, and the
+    * min key is the canonical survivor. The oracle recomputes components
+    * as WITH RECURSIVE reachability + min — an independent formulation of
+    * the same fixpoint (and brute-force edges, since PassJoin is
+    * lossless), so the whole iterative computation is hash-checked. */
+  private val q81 = GraftQuery(
+    "q81_dedup_components",
+    (s, d) => {
+      val nodes = t(s, d, "customer")
+        .filter(col("c_nationkey") === 1)
+        .select(col("c_custkey").as("key"), col("c_name").as("name"))
+      val edges = EditDistanceJoin.selfJoinK1(nodes, "key", "name")
+        .select(col("a_key").as("src"), col("b_key").as("dst"))
+      val comp = connectedComponents(nodes, edges)
+      comp
+        .withColumn("csize",
+          count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long"))
+        .select(col("key"), col("comp").as("component"), col("csize"))
+        .orderBy(col("key"))
+    },
+    Some("""WITH RECURSIVE
+      nodes AS (SELECT c_custkey AS key, c_name AS name
+                FROM customer WHERE c_nationkey = 1),
+      edges AS (SELECT a.key AS src, b.key AS dst
+                FROM nodes a JOIN nodes b
+                  ON a.key <> b.key AND levenshtein(a.name, b.name) <= 1),
+      r(a, b) AS (
+        SELECT key, key FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src),
+      comps AS (SELECT a AS key, min(b) AS component FROM r GROUP BY a)
+      SELECT key, component,
+             CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
+      FROM comps ORDER BY key"""))
+
+  /** q82 — deterministic stratified sampling + train/val/test split:
+    * per-stratum keep-rates (percent) and the split assignment both come
+    * from md5 of the stable document id, so the sample is reproducible
+    * across runs/retries/engines, requires no shuffle (pure per-row map),
+    * and composes with any downstream op. rand()-based sampling fails all
+    * three at cluster scale (re-evaluated on stage retry). */
+  private val q82 = GraftQuery(
+    "q82_stratified_split",
+    (s, d) => {
+      val rates = Seq(("en", 50), ("fr", 30), ("de", 30), ("es", 20), ("zh", 20))
+      val ratesDf = s.createDataFrame(rates).toDF("lang", "keep_pct")
+      def mdBucket(salt: String, mod: Int) =
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 8),
+          16, 10).cast("long") % mod
+      t(s, d, "documents")
+        .join(broadcast(ratesDf), Seq("lang"))
+        .filter(mdBucket(":sample", 100) < col("keep_pct"))
+        .withColumn("split",
+          when(mdBucket(":split", 10) <= 7, lit("train"))
+            .when(mdBucket(":split", 10) === 8, lit("val"))
+            .otherwise(lit("test")))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH rates(lang, keep_pct) AS (
+        VALUES ('en', 50), ('fr', 30), ('de', 30), ('es', 20), ('zh', 20))
+      SELECT doc_id, lang,
+        CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT % 10 <= 7
+             THEN 'train'
+             WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT % 10 = 8
+             THEN 'val' ELSE 'test' END AS split
+      FROM documents JOIN rates USING (lang)
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':sample'), 1, 8))::BIGINT % 100 < keep_pct
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q81, q82)
+}

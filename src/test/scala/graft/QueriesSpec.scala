@@ -204,6 +204,40 @@ class QueriesSpec extends SparkSpec {
       "ANN returned a row outside the metadata filter")
   }
 
+  test("q81 components match a driver-side union-find on the same edges") {
+    val nodes = Tables.t(spark, sf, "customer").filter(col("c_nationkey") === 1)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"))
+    val keys = nodes.select("key").collect().map(_.getLong(0))
+    val edges = graft.operators.EditDistanceJoin.selfJoinK1(nodes, "key", "name")
+      .select("a_key", "b_key").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reference union-find
+    val parent = scala.collection.mutable.Map(keys.map(k => k -> k): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = keys.map(k => k -> find(k)).toMap
+    val got = QueryRegistry.byName("q81_dedup_components").fn(spark, sf)
+      .select("key", "component").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(expect.values.toSet.size < keys.length, "no nontrivial components formed")
+  }
+
+  test("q82 split is deterministic, disjoint, and roughly 8/1/1") {
+    val a = QueryRegistry.byName("q82_stratified_split").fn(spark, sf).collect()
+    val b = QueryRegistry.byName("q82_stratified_split").fn(spark, sf).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    val splits = a.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(splits.keySet.subsetOf(Set("train", "val", "test")))
+    val n = a.length.toDouble
+    assert(splits.getOrElse("train", 0) / n > 0.6, s"train share off: $splits")
+    // sampling keeps strictly less than everything in at least one stratum
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(a.length < total)
+  }
+
   test("approx_count_distinct (HLL) within 5% of exact (sketch capability)") {
     val li = Tables.t(spark, sf, "lineitem")
     val r = li.agg(
