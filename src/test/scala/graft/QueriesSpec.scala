@@ -151,6 +151,54 @@ class QueriesSpec extends SparkSpec {
       "corpus has no cross-length ed<=2 pairs — test would not cover them")
   }
 
+  test("PassJoin k=2 is lossless on short low-alphabet strings (segment degeneracy)") {
+    import spark.implicits._
+    // lengths 3-6 over a 2-letter alphabet: segments of length 1-2, huge
+    // collision rate, pairs at every |Δlen| in {0,1,2} — the degenerate
+    // regime where candidate-generation bugs (off-by-one shifts, wrong
+    // segment geometry) actually surface
+    val rnd = new scala.util.Random(99)
+    val strs = (0L until 250L).map { i =>
+      (i, (0 until 3 + rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    }
+    val df = strs.toDF("k", "s")
+    val a = df.select(col("k").as("ak"), col("s").as("an"))
+    val b = df.select(col("k").as("bk"), col("s").as("bn"))
+    val brute = a.crossJoin(b).filter(col("ak") < col("bk"))
+      .filter(levenshtein(col("an"), col("bn")) <= 2)
+      .select("ak", "bk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pass = graft.operators.EditDistanceJoin.selfJoinK2(df, "k", "s")
+      .select("a_key", "b_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pass == brute, s"missing=${brute -- pass} extra=${pass -- brute}")
+    assert(brute.nonEmpty)
+  }
+
+  test("connectedComponents matches union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val n = 200
+    val keys = (0L until n.toLong)
+    val edges = (0 until 260)
+      .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val nodesDf = keys.toDF("key")
+    val edgesDf = edges.toDF("src", "dst")
+    val parent = scala.collection.mutable.Map(keys.map(k => k -> k): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    // canonicalize union-find roots to min-of-component to match min-propagation
+    val byRoot = keys.groupBy(find)
+    val expect = byRoot.flatMap { case (_, ks) => ks.map(_ -> ks.min) }.toMap
+    val got = graft.operators.CurationOps.connectedComponents(nodesDf, edgesDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(expect.values.toSet.size > 1 && expect.values.toSet.size < n)
+  }
+
   test("PassJoin k=1 is lossless on synthetic varied-prefix strings") {
     import spark.implicits._
     // deterministic corpus with entropy spread across the whole string
