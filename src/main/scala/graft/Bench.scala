@@ -23,6 +23,13 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    // Warm the TARGET-sf page cache with one cheap scan per table, so the
+    // first timed queries measure execution rather than cold file IO
+    // (codegen warmup above runs at the tiny sf and reads other files).
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { tbl =>
+      try graft.Tables.t(spark, sfDir, tbl).count() catch { case _: Throwable => () }
+    }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

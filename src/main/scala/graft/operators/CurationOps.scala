@@ -30,17 +30,27 @@ object CurationOps {
     // symmetric neighbor list
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // One superstep: neighbor-min then pointer jump (comp(k) := comp(comp(k));
+    // every comp value is a node key, so the self-join always matches). The
+    // jump halves remaining label depth → O(log diameter) supersteps.
+    def superstep(comp: DataFrame): DataFrame = {
+      val nbrMin = sym.join(comp, sym("src") === comp("key"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("nbr_comp"))
+      val stepped = comp.as("c")
+        .join(nbrMin, col("c.key") === nbrMin("dst"), "left")
+        .select(col("c.key").as("key"),
+          least(col("c.comp"), coalesce(col("nbr_comp"), col("c.comp"))).as("comp"))
+      stepped.as("s")
+        .join(stepped.select(col("key").as("jk"), col("comp").as("jcomp")).as("j"),
+          col("s.comp") === col("jk"), "left")
+        .select(col("s.key").as("key"),
+          coalesce(col("jcomp"), col("s.comp")).as("comp"))
+    }
     var comp = nodes.select(col("key"), col("key").as("comp")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = sym.join(comp, sym("src") === comp("key"))
-        .groupBy(col("dst")).agg(min(col("comp")).as("nbr_comp"))
-      val updated = comp.as("c")
-        .join(nbrMin, col("c.key") === nbrMin("dst"), "left")
-        .select(col("c.key").as("key"),
-          least(col("c.comp"), coalesce(col("nbr_comp"), col("c.comp"))).as("comp"))
-        .localCheckpoint()
+      val updated = superstep(comp).localCheckpoint()
       val changed = updated.as("n")
         .join(comp.as("o"), col("n.key") === col("o.key"))
         .filter(col("n.comp") =!= col("o.comp")).count()
@@ -51,34 +61,76 @@ object CurationOps {
     comp
   }
 
-  /** q81 — near-dup clustering over one blocking partition: ed<=1 pairs
-    * (PassJoin, q56's operator) within a nation block of customer names
-    * become edges; connected components give the dedup groups, and the
-    * min key is the canonical survivor. The oracle recomputes components
-    * as WITH RECURSIVE reachability + min — an independent formulation of
-    * the same fixpoint (and brute-force edges, since PassJoin is
-    * lossless), so the whole iterative computation is hash-checked. */
+  /** BLOCKED connected components — the production shape for dedup
+    * clustering: near-dup graphs are built per blocking partition (that is
+    * what makes pair generation tractable in the first place), so each
+    * block's graph is small by construction and its components resolve
+    * with an in-memory union-find inside ONE `flatMapGroups` pass — a
+    * single shuffle on the block key, no iteration, no driver round
+    * trips. Distribution comes from blocks running in parallel across
+    * executors; [[connectedComponents]] (the Pregel loop) remains the
+    * fallback for graphs with no blocking structure.
+    * Inputs: nodes (block, key), edges (block, src, dst). Canonical
+    * component id = min key, matching the loop operator. */
+  def blockedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val s = nodes.sparkSession
+    import s.implicits._
+    // tag rows: node rows carry dst = -1 (keys are non-negative ids)
+    val rows = nodes.select(col("block").cast("long"), col("key").cast("long"),
+        lit(-1L))
+      .union(edges.select(col("block").cast("long"), col("src").cast("long"),
+        col("dst").cast("long")))
+      .as[(Long, Long, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          r
+        }
+        val keys = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.foreach { case (_, x, y) =>
+          if (y < 0) keys += x
+          else {
+            val (rx, ry) = (find(x), find(y))
+            if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+          }
+        }
+        keys.iterator.map(k => (k, find(k)))
+      }
+      .toDF("key", "comp")
+  }
+
+  /** q81 — near-dup clustering across ALL blocking partitions: ed<=1
+    * PassJoin pairs within each nation block become edges; per-block
+    * union-find (see [[blockedComponents]]) gives the dedup groups, the
+    * min key is the canonical survivor. The oracle recomputes the same
+    * fixpoint independently — WITH RECURSIVE reachability + min over
+    * brute-force same-block edges — so the whole clustering is
+    * hash-checked. */
   private val q81 = GraftQuery(
     "q81_dedup_components",
     (s, d) => {
-      val nodes = t(s, d, "customer")
-        .filter(col("c_nationkey") === 1)
-        .select(col("c_custkey").as("key"), col("c_name").as("name"))
-      val edges = EditDistanceJoin.selfJoinK1(nodes, "key", "name")
-        .select(col("a_key").as("src"), col("b_key").as("dst"))
-      val comp = connectedComponents(nodes, edges)
-      comp
+      val cust = t(s, d, "customer")
+        .select(col("c_nationkey").cast("long").as("block"),
+          col("c_custkey").as("key"), col("c_name").as("name"))
+      val edges = EditDistanceJoin
+        .selfJoinK1(cust, "key", "name", blockCols = Seq("block"))
+        .select(col("block"), col("a_key").as("src"), col("b_key").as("dst"))
+      blockedComponents(cust.select(col("block"), col("key")), edges)
         .withColumn("csize",
           count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long"))
         .select(col("key"), col("comp").as("component"), col("csize"))
         .orderBy(col("key"))
     },
     Some("""WITH RECURSIVE
-      nodes AS (SELECT c_custkey AS key, c_name AS name
-                FROM customer WHERE c_nationkey = 1),
+      nodes AS (SELECT c_nationkey AS block, c_custkey AS key, c_name AS name
+                FROM customer),
       edges AS (SELECT a.key AS src, b.key AS dst
                 FROM nodes a JOIN nodes b
-                  ON a.key <> b.key AND levenshtein(a.name, b.name) <= 1),
+                  ON a.block = b.block AND a.key <> b.key
+                     AND levenshtein(a.name, b.name) <= 1),
       r(a, b) AS (
         SELECT key, key FROM nodes
         UNION

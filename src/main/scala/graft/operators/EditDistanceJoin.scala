@@ -30,44 +30,51 @@ object EditDistanceJoin {
   /** All pairs (a_key < b_key) with levenshtein <= 1 over an equal-length
     * string column: 2 segments (ceil/floor split, per-row arithmetic),
     * probe shifts per PassJoin's position bounds. */
-  def selfJoinK1(df: DataFrame, keyCol: String, strCol: String): DataFrame = {
+  def selfJoinK1(df: DataFrame, keyCol: String, strCol: String,
+                 blockCols: Seq[String] = Nil): DataFrame = {
     // corpus common prefix from the lexicographic extremes (two scalars)
     val mm = df.agg(min(col(strCol)).as("mn"), max(col(strCol)).as("mx")).head()
     val (mn, mx) = (mm.getString(0), mm.getString(1))
     val plen = mn.zip(mx).takeWhile { case (a, b) => a == b }.length
     val sfx = substring(col(strCol), plen + 1, Int.MaxValue)
 
-    val base = df.select(col(keyCol).as("key"), col(strCol).as("str"),
-      sfx.as("sfx"))
+    val base = df.select(
+      (blockCols.map(col) :+ col(keyCol).as("key") :+ col(strCol).as("str") :+
+        sfx.as("sfx")): _*)
       // floor division on both engines (plain / + int cast truncates in
       // Spark but rounds in DuckDB)
       .withColumn("s0len", expr("CAST((length(sfx) + 1) div 2 AS INT)"))
     // index side: the 2 exact segments
-    val index = base.select(col("key").as("a_key"), col("sfx").as("a_sfx"),
-      explode(array(
-        struct(lit(0).as("seg_idx"), expr("substr(sfx, 1, s0len)").as("seg")),
-        struct(lit(1).as("seg_idx"), expr("substr(sfx, s0len + 1)").as("seg"))
-      )).as("s"))
-      .select(col("a_key"), col("a_sfx"), col("s.seg_idx"), col("s.seg"))
+    val index = base.select(
+      (blockCols.map(col) :+ col("key").as("a_key") :+ col("sfx").as("a_sfx") :+
+        explode(array(
+          struct(lit(0).as("seg_idx"), expr("substr(sfx, 1, s0len)").as("seg")),
+          struct(lit(1).as("seg_idx"), expr("substr(sfx, s0len + 1)").as("seg"))
+        )).as("s")): _*)
+      .select((blockCols.map(col) :+ col("a_key") :+ col("a_sfx") :+
+        col("s.seg_idx") :+ col("s.seg")): _*)
     // probe side: shifted substrings within PassJoin's bounds
     // seg0 (nothing before it): shift in {0, +1}; seg1 (last): {-1, 0}
-    val probe = base.select(col("key").as("b_key"), col("sfx").as("b_sfx"),
-      explode(array(
-        struct(lit(0).as("seg_idx"), expr("substr(sfx, 1, s0len)").as("seg")),
-        struct(lit(0).as("seg_idx"), expr("substr(sfx, 2, s0len)").as("seg")),
-        struct(lit(1).as("seg_idx"), expr("substr(sfx, s0len + 1)").as("seg")),
-        struct(lit(1).as("seg_idx"), expr("substr(sfx, s0len)").as("seg"))
-      )).as("s"))
-      .select(col("b_key"), col("b_sfx"), col("s.seg_idx"), col("s.seg"))
+    val probe = base.select(
+      (blockCols.map(col) :+ col("key").as("b_key") :+ col("sfx").as("b_sfx") :+
+        explode(array(
+          struct(lit(0).as("seg_idx"), expr("substr(sfx, 1, s0len)").as("seg")),
+          struct(lit(0).as("seg_idx"), expr("substr(sfx, 2, s0len)").as("seg")),
+          struct(lit(1).as("seg_idx"), expr("substr(sfx, s0len + 1)").as("seg")),
+          struct(lit(1).as("seg_idx"), expr("substr(sfx, s0len)").as("seg"))
+        )).as("s")): _*)
+      .select((blockCols.map(col) :+ col("b_key") :+ col("b_sfx") :+
+        col("s.seg_idx") :+ col("s.seg")): _*)
     // verify-then-int-dedup (see selfJoinK2): thresholded levenshtein runs
     // map-side right after the join; the only wide shuffle carries
     // (a_key, b_key, lev) ints, with partial aggregation collapsing
-    // duplicate candidates before they move.
-    index.join(probe, Seq("seg_idx", "seg"))
+    // duplicate candidates before they move. With blockCols the candidate
+    // equi-join ALSO keys on the block — pairs never cross blocks.
+    index.join(probe, blockCols ++ Seq("seg_idx", "seg"))
       .filter(col("a_key") < col("b_key"))
       .withColumn("lev", levenshtein(col("a_sfx"), col("b_sfx"), 1).cast("long"))
       .filter(col("lev") >= 0)
-      .groupBy(col("a_key"), col("b_key"))
+      .groupBy((blockCols.map(col) :+ col("a_key") :+ col("b_key")): _*)
       .agg(min(col("lev")).as("lev"))
   }
 

@@ -252,18 +252,33 @@ class QueriesSpec extends SparkSpec {
       "ANN returned a row outside the metadata filter")
   }
 
-  test("q81 components match a driver-side union-find on the same edges") {
-    val nodes = Tables.t(spark, sf, "customer").filter(col("c_nationkey") === 1)
-      .select(col("c_custkey").as("key"), col("c_name").as("name"))
-    val keys = nodes.select("key").collect().map(_.getLong(0))
-    val edges = graft.operators.EditDistanceJoin.selfJoinK1(nodes, "key", "name")
-      .select("a_key", "b_key").collect().map(r => (r.getLong(0), r.getLong(1)))
-    // reference union-find
+  test("q81 components match a driver-side union-find on brute-force block edges") {
+    val cust = Tables.t(spark, sf, "customer")
+      .select(col("c_nationkey").cast("long").as("block"),
+        col("c_custkey").as("key"), col("c_name").as("name")).collect()
+    val keys = cust.map(_.getAs[Long]("key"))
+    // brute-force same-block ed<=1 edges (independent of PassJoin)
     val parent = scala.collection.mutable.Map(keys.map(k => k -> k): _*)
     def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val tmp = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = tmp
+        }
+      }
+      dp(b.length)
+    }
+    for (pair <- cust.groupBy(_.getAs[Long]("block")).values.flatMap(_.combinations(2))) {
+      val (x, y) = (pair(0), pair(1))
+      if (lev(x.getAs[String]("name"), y.getAs[String]("name")) <= 1) {
+        val (rx, ry) = (find(x.getAs[Long]("key")), find(y.getAs[Long]("key")))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
     }
     val expect = keys.map(k => k -> find(k)).toMap
     val got = QueryRegistry.byName("q81_dedup_components").fn(spark, sf)
