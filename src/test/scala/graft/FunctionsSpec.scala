@@ -77,6 +77,29 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("ratio goldens straddle the 0.7 near-miss debug threshold (q77 band)") {
+    // difflib SequenceMatcher(None, a, b, autojunk=False).ratio() values —
+    // cases bracketing the reference's relaxed debug threshold
+    // (movie_generator.py:644-646: report at > 0.7, dedup at >= 0.85)
+    val cases = Seq(
+      ("the matrix", "the matrix reloaded", 0.6896551724137931), // below band
+      ("stalker", "stoker", 0.7692307692307693),                 // in band
+      ("seven", "se7en", 0.8),                                   // in band
+      ("amelie", "amelia", 0.8333333333333334),                  // in band
+      ("blade runner", "blade runner 2049", 0.8275862068965517), // in band
+      ("heat", "heart", 0.8888888888888888),                     // above 0.85
+      ("alien", "aliens", 0.9090909090909091),
+      ("chinatown", "chinatowns", 0.9473684210526315),
+      ("the godfather part ii", "the godfather part iii", 0.9767441860465116))
+    cases.foreach { case (a, b, want) =>
+      assert(math.abs(RatcliffObershelp.ratio(a, b) - want) < 1e-12,
+        s"ratio($a, $b)")
+    }
+    // band membership as q77/q46 would classify them
+    val band = cases.filter { case (_, _, r) => r > 0.7 && r < 0.85 }.map(_._1)
+    assert(band == Seq("stalker", "seven", "amelie", "blade runner"))
+  }
+
   test("StringRatio expression evaluates in a plan (codegen path)") {
     val df = Seq(("the bicycle thief", "the bicycle thieves"))
       .toDF("a", "b").select(string_ratio(col("a"), col("b")).as("r"))
