@@ -75,4 +75,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), "profile join fell back to SMJ")
   }
+
+  test("q82: sampling is a pure map — broadcast rates, only the output sort shuffles") {
+    val p = planOf("q82_stratified_split")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "rates join fell back to SMJ")
+    // the md5 gate must not induce a data shuffle; the only Exchange
+    // allowed is the rangepartitioning for the deterministic output order
+    val rangeOnly = p.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("BroadcastExchange"))
+      .forall(l => l.contains("rangepartitioning") || l.contains("SinglePartition"))
+    assert(rangeOnly, s"unexpected data shuffle in sampling plan:\n$p")
+  }
 }

@@ -288,6 +288,19 @@ class QueriesSpec extends SparkSpec {
     assert(expect.values.toSet.size < keys.length, "no nontrivial components formed")
   }
 
+  test("q78 oversample absorbs dedup rejections and still fills the target") {
+    val df = QueryRegistry.byName("q78_oversample_dedup_limit").fn(spark, sf)
+    val n = df.count()
+    val docs = Tables.t(spark, sf, "documents").count()
+    // rejections actually happened (dedup did real work on this corpus)
+    assert(n < math.min(300L, docs), s"no rejections: n=$n docs=$docs")
+    // the retry loop's contract: when the candidate pool is deep enough,
+    // the 3x oversample still fills the full target despite rejections
+    if (docs >= 300) assert(n == 100, s"target unfilled: $n")
+    // keys are unique post-dedup
+    assert(df.select("doc_id").distinct().count() == n)
+  }
+
   test("q82 split is deterministic, disjoint, and roughly 8/1/1") {
     val a = QueryRegistry.byName("q82_stratified_split").fn(spark, sf).collect()
     val b = QueryRegistry.byName("q82_stratified_split").fn(spark, sf).collect()
