@@ -52,11 +52,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
+    // Full per-query map goes to the file only: with 79 queries the one-line
+    // form exceeds the driver's bounded stdout-tail window and the line gets
+    // front-truncated → BENCH parsed:null (rounds 1 and 2). Stdout carries a
+    // short self-contained record the tail capture can always hold.
+    val fileLine =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fileLine + "\n")
+    val stdoutLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
     spark.stop()
     // sole final stdout line (after spark.stop so no shutdown noise follows)
-    println(line)
+    println(stdoutLine)
   }
 }

@@ -1,0 +1,41 @@
+package graft
+
+/** Dev tool: time individual registry queries (by name) at a given sf dir,
+  * with warmup at sf0.001 and cache-drop between runs — the same
+  * methodology as Bench, but scoped to the queries under investigation.
+  * Usage: sbt "runMain graft.Profile q34_minhash_lsh_pairs q45_parse_pipeline_roundtrip [--iters 3] [--sf /root/testdata/sf0.1]"
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val names = args.zipWithIndex.filterNot { case (a, i) =>
+      a.startsWith("--") || (i > 0 && args(i - 1).startsWith("--"))
+    }.map(_._1).toSeq
+    def opt(flag: String, default: String): String = {
+      val i = args.indexOf(flag); if (i >= 0 && i + 1 < args.length) args(i + 1) else default
+    }
+    val sfDir = opt("--sf", "/root/testdata/sf0.1")
+    val iters = opt("--iters", "2").toInt
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(spark)
+    def dropCached(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val warmDir = "/root/testdata/sf0.001"
+    for (n <- names) {
+      val fn = QueryRegistry.byName(n).fn
+      try fn(spark, warmDir).count() catch { case e: Throwable => println(s"warmup $n: $e") }
+      dropCached()
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropCached()
+        dt
+      }
+      println(f"$n%-36s ${times.map(t => f"$t%.3f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}

@@ -131,17 +131,20 @@ object DedupText {
   private val q34 = GraftQuery(
     "q34_minhash_lsh_pairs",
     (s, d) => {
-      // Stage 1: packed 62-bit shingle hashes, materialized — one long per
-      // shingle instead of the shingle string, so the staged table is ~8
-      // bytes/shingle and every downstream stage (signatures, jaccard
-      // verify on both sides) reuses it without re-deriving the expression.
-      // Inlining the full chain on both self-join sides made codegen +
-      // recompute dominate (18.5s → 3.4s at sf0.1); string-array staging
-      // still paid ~6s of serialization. localCheckpoint is the local-mode
-      // analog of staging the signature table to storage at 100 TB.
+      // Stage 1: packed 62-bit shingle hashes — one long per shingle
+      // instead of the shingle string, so whole-stage codegen CSE derives
+      // the md5 chain once per row per stage and downstream stages
+      // (signatures, jaccard verify on both sides) carry 8-byte longs, not
+      // strings. Recompute-per-side, no caching: the earlier localCheckpoint
+      // staging paid an eager serialization job up front (and its retained
+      // blocks skewed later bench queries); a lazy Dataset.persist leaks
+      // CacheManager entries that RDD-level unpersist can't drop (measured:
+      // per-run time doubled run over run). At 100 TB the equivalent choice
+      // is writing the packed-hash table to storage once vs recomputing a
+      // cheap narrow map — the shingle+md5 map is ~3% of the query's work,
+      // so recompute wins at any scale.
       val base = docShingles(s, d)
         .select(col("doc_id"), packedHashes(col("sg")).as("hs"))
-        .localCheckpoint()
       val mhCols = (0 until NumHashes).map(k => minHashPacked(col("hs"), k).as(s"mh$k"))
       val mh = base.select(col("doc_id") +: mhCols: _*)
       val bandStructs = (0 until NumBands).map { b =>
@@ -274,28 +277,46 @@ object DedupText {
     * self-join (movie_generator.py:83-94), re-keyed to the harness:
     * customers within one nation whose names are ≤2 edits apart.
     * levenshtein is the DuckDB-checkable twin of Ratcliff/Obershelp
-    * (SURVEY F8); the nation key is the block that kills O(n²). */
+    * (SURVEY F8); the nation key is the block that kills O(n²).
+    *
+    * Algorithm choice, measured at sf0.1: this corpus (zero-padded dense
+    * digit IDs after the shared "Customer#000..." prefix) defeats every
+    * candidate-generation scheme — PassJoin's 1-2 char segments have no
+    * entropy (candidates ≈ brute pairs, 1.5s) and symmetric-delete
+    * signatures barely discriminate (2.8M candidates vs 4.5M brute pairs,
+    * 1.5s) — while brute-within-block with the corpus common prefix
+    * STRIPPED before the banded DP (ed(Pu,Pv) = ed(u,v), so the O(k·n) DP
+    * runs on 5-char suffixes, not 18-char names) runs in 0.54s with one
+    * shuffle. For corpora with sparse matches see q83 (symmetric-delete)
+    * and q79 (PassJoin) — candidate generation wins there. */
   private val q38 = GraftQuery(
     "q38_fuzzy_name_pairs",
     (s, d) => {
       val c = t(s, d, "customer")
-      // single-split input would run the 4.5M-pair levenshtein scan on one
-      // thread (measured 8.9s -> sub-second with 32-way parallelism)
-      val a = c.repartition(s.sparkContext.defaultParallelism)
-        .select(col("c_nationkey").as("nk"),
-          col("c_custkey").as("a_key"), col("c_name").as("a_name"))
-      val b = c.select(col("c_nationkey").as("nk"),
-        col("c_custkey").as("b_key"), col("c_name").as("b_name"))
+      // corpus common prefix from the lexicographic extremes (two scalars)
+      val mm = c.agg(min(col("c_name")), max(col("c_name"))).head()
+      val plen = mm.getString(0).zip(mm.getString(1))
+        .takeWhile { case (x, y) => x == y }.length
+      // single-split input would run the pair scan on one thread
+      val base = c.repartition(s.sparkContext.defaultParallelism)
+        .select(col("c_nationkey").as("nk"), col("c_custkey").as("key"),
+          substring(col("c_name"), plen + 1, Int.MaxValue).as("sfx"),
+          length(col("c_name")).as("len"))
+      val a = base.select(col("nk"), col("key").as("a_key"),
+        col("sfx").as("a_sfx"), col("len").as("a_len"))
+      val b = base.select(col("nk"), col("key").as("b_key"),
+        col("sfx").as("b_sfx"), col("len").as("b_len"))
       a.join(b, Seq("nk"))
         .filter(col("a_key") < col("b_key"))
         // thresholded levenshtein: banded O(k·n) DP with early exit,
         // returns -1 above the bound — exact value otherwise, so the
         // ≤2 semantics match the oracle's full-DP filter
-        .withColumn("lev", levenshtein(col("a_name"), col("b_name"), 2).cast("long"))
+        .withColumn("lev", levenshtein(col("a_sfx"), col("b_sfx"), 2).cast("long"))
         .filter(col("lev") >= 0)
+        // ratio is over FULL name lengths (the strip preserves lev only)
         .select(col("nk"), col("a_key"), col("b_key"), col("lev"),
           round(lit(1.0) - col("lev").cast("double") /
-            greatest(length(col("a_name")), length(col("b_name"))), 6).as("ratio"))
+            greatest(col("a_len"), col("b_len")), 6).as("ratio"))
         .orderBy(col("nk"), col("a_key"), col("b_key"))
     },
     Some("""SELECT a.c_nationkey AS nk, a.c_custkey AS a_key, b.c_custkey AS b_key,

@@ -95,8 +95,20 @@ object EditDistanceJoin {
     * Segment geometry (extras go to the LAST segments; must match the SQL
     * twin exactly): len_0 = l div 3, len_1 = l div 3 + [l%3 = 2],
     * len_2 = l div 3 + [l%3 >= 1]; starts are the prefix sums.
-    * Precondition: strings of length >= 3 (each segment non-empty). */
-  def selfJoinK2(df: DataFrame, keyCol: String, strCol: String): DataFrame = {
+    *
+    * Like selfJoinK1, the corpus-wide common prefix (from the two
+    * lexicographic extremes — a scalar agg) is stripped before segmenting:
+    * ed(Pu, Pv) = ed(u, v), and low-entropy shared prefixes (harness names
+    * all start "Customer#000...") otherwise make prefix segments constant
+    * and collapse candidate generation to near-all-pairs. The returned
+    * `lev` is therefore the FULL-string edit distance. With blockCols the
+    * candidate equi-join also keys on the block, so pairs never cross
+    * blocks (and the block is part of the output).
+    *
+    * Precondition: suffixes (after common-prefix strip) of length >= 3
+    * (each segment non-empty); shorter rows are dropped. */
+  def selfJoinK2(df: DataFrame, keyCol: String, strCol: String,
+                 blockCols: Seq[String] = Nil): DataFrame = {
     def lenE(i: Int, l: String) = i match {
       case 0 => s"($l div 3)"
       case 1 => s"(($l div 3) + (CASE WHEN $l % 3 = 2 THEN 1 ELSE 0 END))"
@@ -107,14 +119,23 @@ object EditDistanceJoin {
       case 1 => s"(1 + ($l div 3))"
       case _ => s"(1 + 2 * ($l div 3) + (CASE WHEN $l % 3 = 2 THEN 1 ELSE 0 END))"
     }
-    val base = df.select(col(keyCol).as("key"), col(strCol).as("str"))
+    // corpus common prefix from the lexicographic extremes (two scalars)
+    val mm = df.agg(min(col(strCol)).as("mn"), max(col(strCol)).as("mx")).head()
+    val plen =
+      if (mm.isNullAt(0)) 0
+      else mm.getString(0).zip(mm.getString(1)).takeWhile { case (a, b) => a == b }.length
+    val bc = blockCols.map(col)
+    val base = df.select(
+      (bc :+ col(keyCol).as("key") :+
+        substring(col(strCol), plen + 1, Int.MaxValue).as("str")): _*)
       .filter(length(col("str")) >= 3)
+    def withBc(cols: String*): Seq[String] = blockCols ++ cols
     val idx = base
-      .selectExpr("key AS a_key", "str AS a_str", "length(str) AS tlen")
-      .selectExpr("a_key", "a_str", "tlen",
+      .selectExpr(withBc("key AS a_key", "str AS a_str", "length(str) AS tlen"): _*)
+      .selectExpr(withBc("a_key", "a_str", "tlen",
         "inline(array(" + (0 until 3).map(i =>
           s"struct($i AS seg_idx, substr(a_str, ${startE(i, "tlen")}, ${lenE(i, "tlen")}) AS seg)")
-          .mkString(", ") + "))")
+          .mkString(", ") + "))"): _*)
     // Anchored position bounds (tighter than a blanket |δ| <= k, still a
     // superset of true matches): segment 0 has nothing before it in v, so
     // only insertions can precede its match in u → start ∈ [1, 1+k];
@@ -125,22 +146,76 @@ object EditDistanceJoin {
       (-2 to 2).map(dl => s"struct(1 AS seg_idx, (${startE(1, "tlen")} + $dl) AS st, ${lenE(1, "tlen")} AS sl)") ++
       (0 to 2).map(j => s"struct(2 AS seg_idx, (m - $j - ${lenE(2, "tlen")} + 1) AS st, ${lenE(2, "tlen")} AS sl)")
     val probe = base
-      .selectExpr("key AS b_key", "str AS b_str", "length(str) AS m")
-      .selectExpr("b_key", "b_str", "m", "explode(sequence(m - 2, m + 2)) AS tlen")
+      .selectExpr(withBc("key AS b_key", "str AS b_str", "length(str) AS m"): _*)
+      .selectExpr(withBc("b_key", "b_str", "m",
+        "explode(sequence(m - 2, m + 2)) AS tlen"): _*)
       .filter(col("tlen") >= 3)
-      .selectExpr("b_key", "b_str", "m", "tlen",
-        "inline(array(" + probeStructs.mkString(", ") + "))")
+      .selectExpr(withBc("b_key", "b_str", "m", "tlen",
+        "inline(array(" + probeStructs.mkString(", ") + "))"): _*)
       .filter(col("st") >= 1 && col("st") + col("sl") - 1 <= col("m"))
-      .selectExpr("b_key", "b_str", "tlen", "seg_idx", "substr(b_str, st, sl) AS seg")
+      .selectExpr(withBc("b_key", "b_str", "tlen", "seg_idx",
+        "substr(b_str, st, sl) AS seg"): _*)
     // Verify IMMEDIATELY with the thresholded (banded, early-abandon)
     // levenshtein, then dedup duplicate candidates on INTEGER keys only —
     // the partial aggregate collapses dups map-side, so the only wide
     // shuffle carries (a_key, b_key, lev) ints, never candidate strings.
-    idx.join(probe, Seq("seg_idx", "tlen", "seg"))
+    idx.join(probe, blockCols ++ Seq("seg_idx", "tlen", "seg"))
       .filter(col("a_key") < col("b_key"))
       .withColumn("lev", levenshtein(col("a_str"), col("b_str"), 2).cast("long"))
       .filter(col("lev") >= 0)
-      .groupBy(col("a_key"), col("b_key"))
+      .groupBy((bc :+ col("a_key") :+ col("b_key")): _*)
+      .agg(min(col("lev")).as("lev"))
+  }
+
+  /** Symmetric-delete (SymSpell-style) ed <= 2 self-join for SHORT strings
+    * (public algorithm: Garbe's SymSpell / the k-deletion-neighborhood
+    * lemma — if ed(u,v) <= k, deleting <= k chars from each side reaches a
+    * common string; take the alignment's matched positions). Every string
+    * emits its <= 2-deletion neighborhood as xxhash64 signatures —
+    * (n+1)(n+2)/2 ≈ 28 sigs for n = 6 — and candidates come from a plain
+    * equi-join on (blockCols, sig). Hash collisions only ADD candidates
+    * (the thresholded levenshtein verify drops them), never lose pairs.
+    *
+    * Complements PassJoin by data shape: segment candidate generation
+    * needs segment entropy (distinctive substrings), which low-alphabet
+    * fixed-width keys (digit IDs, zero-padded names) don't have — there
+    * PassJoin degrades to near-all-pairs while deletion signatures stay
+    * discriminative. Conversely the O(n²·k?) signature count rules this
+    * out for long strings: use it for n up to ~12 (after common-prefix
+    * strip), PassJoin beyond. No minimum length — works down to n = 0.
+    *
+    * Same contracts as selfJoinK2: corpus common prefix stripped first
+    * (ed(Pu, Pv) = ed(u, v)), `lev` is the full-string distance, the only
+    * wide shuffle after the signature join carries (a_key, b_key, lev)
+    * ints with map-side partial aggregation. */
+  def selfJoinSymDeleteK2(df: DataFrame, keyCol: String, strCol: String,
+                          blockCols: Seq[String] = Nil): DataFrame = {
+    val mm = df.agg(min(col(strCol)).as("mn"), max(col(strCol)).as("mx")).head()
+    val plen =
+      if (mm.isNullAt(0)) 0
+      else mm.getString(0).zip(mm.getString(1)).takeWhile { case (a, b) => a == b }.length
+    val bc = blockCols.map(col)
+    def withBc(cols: String*): Seq[String] = blockCols ++ cols
+    val base = df.select(
+      (bc :+ col(keyCol).as("key") :+
+        substring(col(strCol), plen + 1, Int.MaxValue).as("str")): _*)
+    // Deletion positions i <= j in {0..n} (0 = no deletion), higher
+    // position applied first so the lower index is unshifted. (i = j > 0
+    // and j = n edge cases emit redundant duplicate signatures — harmless,
+    // the verify groupBy collapses them.)
+    def sigs(keyAs: String, strAs: String) = base
+      .selectExpr(withBc(s"key AS $keyAs", s"str AS $strAs",
+        "explode(sequence(0, length(str))) AS j"): _*)
+      .selectExpr(withBc(keyAs, strAs, "j",
+        s"CASE WHEN j = 0 THEN $strAs ELSE concat(substr($strAs, 1, j - 1), substr($strAs, j + 1)) END AS d"): _*)
+      .selectExpr(withBc(keyAs, strAs, "d", "explode(sequence(0, j)) AS i"): _*)
+      .selectExpr(withBc(keyAs, strAs,
+        "xxhash64(CASE WHEN i = 0 THEN d ELSE concat(substr(d, 1, i - 1), substr(d, i + 1)) END) AS sig"): _*)
+    sigs("a_key", "a_str").join(sigs("b_key", "b_str"), blockCols :+ "sig")
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("lev", levenshtein(col("a_str"), col("b_str"), 2).cast("long"))
+      .filter(col("lev") >= 0)
+      .groupBy((bc :+ col("a_key") :+ col("b_key")): _*)
       .agg(min(col("lev")).as("lev"))
   }
 
@@ -198,8 +273,16 @@ object EditDistanceJoin {
         .select(col("a_key"), col("b_key"), col("lev"))
         .orderBy(col("a_key"), col("b_key"))
     },
-    Some("""WITH base AS (SELECT p_partkey AS key, p_name AS str, length(p_name) AS l
-               FROM part WHERE length(p_name) >= 3),
+    Some("""WITH mm AS (SELECT min(p_name) AS mn, max(p_name) AS mx FROM part),
+      pl AS (SELECT coalesce(max(i), 0) AS plen
+             FROM mm, range(1, 101) t(i)
+             WHERE i <= length(mn)
+               AND substr(mn, 1, CAST(i AS INT)) = substr(mx, 1, CAST(i AS INT))),
+      base AS (SELECT p_partkey AS key,
+                 substr(p_name, (SELECT plen FROM pl) + 1) AS str,
+                 length(substr(p_name, (SELECT plen FROM pl) + 1)) AS l
+               FROM part
+               WHERE length(substr(p_name, (SELECT plen FROM pl) + 1)) >= 3),
       segs AS (SELECT unnest([0, 1, 2]) AS seg_idx),
       idx AS (
         SELECT key AS a_key, str AS a_str, l AS tlen, seg_idx,
@@ -232,5 +315,32 @@ object EditDistanceJoin {
       FROM cand WHERE levenshtein(a_str, b_str) <= 2
       ORDER BY a_key, b_key"""))
 
-  val all: Seq[GraftQuery] = Seq(q56, q79)
+  /** Symmetric-delete ed<=2 self-join over document "titles" (two leading
+    * tokens — the q78 title shape): the sparse-match short-string corpus
+    * where deletion-signature candidate generation wins (contrast q38's
+    * scaladoc: dense digit IDs defeat it; here candidates track true
+    * matches). Oracle is the brute-force O(n²) form — an independent
+    * equation feasible only at oracle scale. */
+  private val q83 = GraftQuery(
+    "q83_symdelete_title_pairs",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val titles = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          concat_ws(" ", element_at(toks, 1), element_at(toks, 2)).as("title"))
+      selfJoinSymDeleteK2(titles, "doc_id", "title")
+        .select(col("a_key"), col("b_key"), col("lev"))
+        .orderBy(col("a_key"), col("b_key"))
+    },
+    Some("""WITH s AS (SELECT doc_id,
+        string_split(text, ' ')[1] || ' ' || string_split(text, ' ')[2] AS t
+        FROM documents)
+      SELECT a.doc_id AS a_key, b.doc_id AS b_key,
+        CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.t, b.t) <= 2
+      ORDER BY a_key, b_key"""))
+
+  val all: Seq[GraftQuery] = Seq(q56, q79, q83)
 }

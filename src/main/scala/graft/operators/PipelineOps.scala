@@ -67,6 +67,13 @@ object PipelineOps {
         col("p_name").as("b_name"))
       a.join(b, Seq("p_brand", "p_type"))
         .filter(col("a_key") < col("b_key"))
+        // Pre-filter at a slightly looser literal threshold: this matches
+        // StringRatioBoundRule's `string_ratio >= lit` pattern (the round()
+        // in the output column blocks it), so the optimizer swaps in
+        // StringRatioGte and difflib's real_quick/quick bounds refute most
+        // pairs without the O(n·m) DP. round(x,6) >= 0.85 ⟹ x > 0.8499,
+        // so the exact rounded filter below sees identical survivors.
+        .filter(string_ratio(lower(col("a_name")), lower(col("b_name"))) >= 0.8499)
         .withColumn("ratio",
           round(string_ratio(lower(col("a_name")), lower(col("b_name"))), 6))
         .filter(col("ratio") >= 0.85)
@@ -89,8 +96,16 @@ object PipelineOps {
   private val q77 = GraftQuery(
     "q77_fuzzy_near_miss_debug",
     (s, d) => {
-      import graft.functions.TextFunctions.levRatio
       val p = t(s, d, "part")
+      // Banded-DP bound from one corpus scalar: sim > 0.7 needs
+      // lev < 0.3·max(len), and max(len) <= g corpus-wide, so the banded
+      // thresholded levenshtein with T = (3g-1) div 10 returns the exact
+      // distance for every possible survivor and -1 (O(T·n) with early
+      // exit, vs the full O(n²) DP) for pairs it is safe to reject:
+      // lev >= T+1 >= 0.3g >= 0.3·max(len_a,len_b) ⟹ sim <= 0.7,
+      // and the filter is strictly > 0.7.
+      val g = p.agg(max(length(col("p_name"))).cast("int")).head().getInt(0)
+      val bound = math.max(1, (3 * g - 1) / 10)
       val a = p.repartition(s.sparkContext.defaultParallelism)
         .select(col("p_brand"), col("p_type"), col("p_partkey").as("a_key"),
           col("p_name").as("a_name"))
@@ -98,7 +113,11 @@ object PipelineOps {
         col("p_name").as("b_name"))
       a.join(b, Seq("p_brand", "p_type"))
         .filter(col("a_key") < col("b_key"))
-        .withColumn("sim", levRatio(lower(col("a_name")), lower(col("b_name"))))
+        .withColumn("lev",
+          levenshtein(lower(col("a_name")), lower(col("b_name")), bound))
+        .filter(col("lev") >= 0)
+        .withColumn("sim", lit(1.0) - col("lev").cast("double") /
+          greatest(length(col("a_name")), length(col("b_name"))))
         .filter(col("sim") > 0.7)
         .select(col("p_brand"), col("a_key"), col("b_key"), col("sim"))
         .orderBy(col("sim").desc, col("a_key"), col("b_key"))
