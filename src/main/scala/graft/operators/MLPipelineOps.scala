@@ -157,16 +157,26 @@ object MLPipelineOps {
       val decoded = src.mapPartitions { it =>
         // STUB codec: no image/audio libs in this container — a real
         // implementation decodes `batch` with the codec library here.
-        it.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
+        // Metadata is md5-derived (like q63) so the mapPartitions path is
+        // engine-portable and oracle-checked end to end; batch position is
+        // partitioning-dependent and deliberately NOT emitted.
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, payload) =>
-            val h = java.util.Arrays.hashCode(payload).toLong & 0xffffffffL
-            (id, payload.length, (h % 1280).toInt, (h % 720).toInt, bi)
+            md.reset()
+            val hex = md.digest(payload).take(4)
+              .map(b => f"${b & 0xff}%02x").mkString
+            val h = java.lang.Long.parseLong(hex, 16)
+            (id, payload.length, (h % 1280).toInt, (h % 720).toInt)
           }
         }
-      }.toDF("doc_id", "n_bytes", "width", "height", "batch_idx")
+      }.toDF("doc_id", "n_bytes", "width", "height")
       decoded.orderBy(col("doc_id"))
     },
-    None,
+    Some("""SELECT doc_id, CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+      CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 1280 AS INT) AS width,
+      CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 720 AS INT) AS height
+      FROM documents ORDER BY doc_id"""),
     note = "mapPartitions batch-decode plumbing; codec stubbed (no libs)")
 
   /** Per-(sfDir, k) quantizer cache: the production contract is "train

@@ -174,6 +174,48 @@ class QueriesSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("symmetric-delete join is lossless incl. shared prefixes and dup strings") {
+    import spark.implicits._
+    // shared literal prefix (exercises the common-prefix strip), short
+    // post-strip suffixes (down to length 2 — below PassJoin's minimum),
+    // duplicate strings (ed=0 pairs), and all |Δlen| in {0,1,2}
+    val rnd = new scala.util.Random(7)
+    val strs = (0L until 250L).map { i =>
+      (i, "ID#" + (0 until 2 + rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val df = strs.toDF("k", "s")
+    val a = df.select(col("k").as("ak"), col("s").as("an"))
+    val b = df.select(col("k").as("bk"), col("s").as("bn"))
+    val brute = a.crossJoin(b).filter(col("ak") < col("bk"))
+      .filter(levenshtein(col("an"), col("bn")) <= 2)
+      .select(col("ak"), col("bk"), levenshtein(col("an"), col("bn")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // pair sets AND full-string lev values must match despite the strip
+    val sym = graft.operators.EditDistanceJoin.selfJoinSymDeleteK2(df, "k", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sym == brute,
+      s"missing=${brute.keySet -- sym.keySet} extra=${sym.keySet -- brute.keySet} " +
+        s"levDiff=${sym.collect { case (k, v) if brute.get(k).exists(_ != v) => k }}")
+    assert(brute.nonEmpty)
+  }
+
+  test("symmetric-delete join blocked by nation matches brute force within blocks") {
+    val c = Tables.t(spark, sf, "customer")
+      .select(col("c_nationkey").as("nk"), col("c_custkey").as("key"),
+        col("c_name").as("name"))
+    val a = c.select(col("nk"), col("key").as("ak"), col("name").as("an"))
+    val b = c.select(col("nk"), col("key").as("bk"), col("name").as("bn"))
+    val brute = a.join(b, Seq("nk")).filter(col("ak") < col("bk"))
+      .filter(levenshtein(col("an"), col("bn")) <= 2)
+      .select("ak", "bk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sym = graft.operators.EditDistanceJoin
+      .selfJoinSymDeleteK2(c, "key", "name", blockCols = Seq("nk"))
+      .select("a_key", "b_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sym == brute, s"missing=${brute -- sym} extra=${sym -- brute}")
+    assert(brute.nonEmpty)
+  }
+
   test("connectedComponents matches union-find on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
@@ -328,7 +370,7 @@ class QueriesSpec extends SparkSpec {
     val rowsOnly = QueryRegistry.queries.filter(_.oracle.isEmpty).map(_.name)
     assert(rowsOnly.toSet ==
       Set("q61_lsh_ann_topk", "q46_ratcliff_fuzzy_pairs",
-        "q64_multimodal_batch_decode", "q65_ivf_kmeans_topk"))
+        "q65_ivf_kmeans_topk"))
     assert(SparkEntry.oracleSql.keySet ==
       SparkEntry.queries.keySet -- rowsOnly)
   }
