@@ -42,6 +42,13 @@ object StreamingCuration {
   /** Partition granularity: 10 release-years per corpus bucket. */
   val BucketYears = 10
 
+  /** Test-only fault injector: invoked with a 0-based op index immediately
+    * BEFORE each filesystem mutation of the swap choreography (mkdirs,
+    * renames, cleanup deletes). Tests install a thrower to simulate a crash
+    * at an exact point and then assert replay convergence; production
+    * leaves the no-op. */
+  @volatile private[graft] var swapFault: Int => Unit = _ => ()
+
   private def bucketOf(year: Column): Column =
     floor(year / BucketYears).cast("long")
 
@@ -129,15 +136,18 @@ object StreamingCuration {
 
     val fs = corpusFs(spark)
     val prev = new Path(corpusDir + s"_prev_$batchId")
-    fs.mkdirs(prev)
-    fs.mkdirs(new Path(corpusDir))
-    touched.foreach { b =>
+    var opIdx = 0
+    def op(f: => Unit): Unit = { swapFault(opIdx); opIdx += 1; f }
+    op(fs.mkdirs(prev))
+    op(fs.mkdirs(new Path(corpusDir)))
+    // deterministic bucket order so a crash point maps to a fixed op
+    touched.sorted.foreach { b =>
       val live = new Path(corpusDir, s"yb=$b")
-      if (fs.exists(live)) fs.rename(live, new Path(prev, s"yb=$b"))
-      fs.rename(new Path(staging, s"yb=$b"), live)
+      if (fs.exists(live)) op(fs.rename(live, new Path(prev, s"yb=$b")))
+      op(fs.rename(new Path(staging, s"yb=$b"), live))
     }
-    fs.delete(prev, true)
-    fs.delete(new Path(staging), true)
+    op(fs.delete(prev, true))
+    op(fs.delete(new Path(staging), true))
   }
 
   /** Bind the stream: raw text records in, curated corpus directory out. */

@@ -58,9 +58,31 @@ class PlanSpec extends SparkSpec {
     for (name <- Seq("q26_ivf_ann_topk", "q80_lsh_signbit_ann")) {
       val p = planOf(name)
       assert(p.contains("BroadcastHashJoin"), s"$name: probe set not broadcast\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name: probe join fell back to SMJ\n$p")
       assert(!p.contains("CartesianProduct"), s"$name: cartesian in ANN path")
       assert(p.contains("TakeOrderedAndProject"), s"$name: rescore top-k is a global sort")
     }
+  }
+
+  test("q26: rescore joins the broadcast probed-cell set on a pruned scan") {
+    val p = planOf("q26_ivf_ann_topk")
+    // the nprobe cut arrives at the rescore as a broadcast hash join on
+    // the cell label (runtime cell filtering — the IVF contract)
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("c_label")),
+      s"rescore cell filter is not a broadcast join on the probed cells\n$p")
+    // the rescore scan reads only (vec_id, embedding, label)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>,label:int>"),
+      s"rescore scan schema not pruned\n$p")
+  }
+
+  test("q80: multi-probe bucket set is broadcast into the signature join") {
+    val p = planOf("q80_lsh_signbit_ann")
+    // probes (query bucket + Hamming-1 neighbors — always 7 rows) joins
+    // the signature table as the broadcast build side keyed on the bucket
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("pbucket")),
+      s"probe-bucket join is not broadcast on bucket id\n$p")
   }
 
   test("q79: PassJoin candidates come from an equi join; shuffle carries no strings after verify") {

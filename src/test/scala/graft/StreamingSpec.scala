@@ -235,6 +235,60 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(s"${corpusDir}_prev_9").exists())
   }
 
+  test("crash matrix: a crash before EVERY swap op converges after replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1 → buckets 194 (1948), 199 (1995); batch 2 → fresh rows in
+    // 197 (1972, new bucket: 1 rename) and 199 (1996, existing bucket:
+    // 2 renames) plus an exact dup. Swap op sequence for batch 2:
+    // 0 mkdirs(prev), 1 mkdirs(corpus), 2 staging197→live,
+    // 3 live199→prev, 4 staging199→live, 5 delete prev, 6 delete staging.
+    val batch1 = Seq(
+      "TITLE: The Bicycle Thief\nYEAR: 1948\nGENRES: Drama\nPLOT: a",
+      "TITLE: Heat\nYEAR: 1995\nGENRES: Crime\nPLOT: b")
+    val batch2 = Seq(
+      "TITLE: the bicycle thief\nYEAR: 1948\nGENRES: Drama\nPLOT: dup",
+      "TITLE: Solaris\nYEAR: 1972\nGENRES: SciFi\nPLOT: new bucket",
+      "TITLE: Fargo\nYEAR: 1996\nGENRES: Crime\nPLOT: existing bucket")
+    def corpusSet(corpusDir: String): Set[(String, Int)] =
+      spark.read.parquet(corpusDir).select("title", "year")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    def runBoth(dir: String, crashAt: Option[Int]): Boolean = {
+      val corpusDir = s"$dir/corpus"
+      val mem = MemoryStream[String]
+      def go(): Unit = {
+        val q = graft.streaming.StreamingCuration.start(
+          mem.toDF().withColumnRenamed("value", "raw"), corpusDir, s"$dir/ckpt")
+        q.awaitTermination()
+      }
+      mem.addData(batch1: _*)
+      go()
+      var fired = false
+      graft.streaming.StreamingCuration.swapFault = i =>
+        if (crashAt.contains(i)) {
+          fired = true; throw new RuntimeException(s"injected crash at op $i")
+        }
+      mem.addData(batch2: _*)
+      try go() catch { case _: Exception => () } finally {
+        graft.streaming.StreamingCuration.swapFault = _ => ()
+      }
+      if (fired) go() // restart from the same checkpoint: batch 2 replays
+      fired
+    }
+    val cleanDir = java.nio.file.Files.createTempDirectory("graft_cm0").toString
+    runBoth(cleanDir, None)
+    val expect = corpusSet(s"$cleanDir/corpus")
+    assert(expect.size == 4)
+    for (k <- 0 until 7) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_cm$k").toString
+      val fired = runBoth(dir, Some(k))
+      assert(fired, s"crash point $k never reached — op map changed")
+      assert(corpusSet(s"$dir/corpus") == expect, s"crash at op $k diverged")
+      // replay must leave no staging/backup leftovers
+      assert(new java.io.File(dir).listFiles().map(_.getName).toSet ==
+        Set("corpus", "ckpt"), s"crash at op $k left debris")
+    }
+  }
+
   test("checkpoint-resume: restarted query does not recount processed data") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
