@@ -24,16 +24,23 @@ results = {}
 for name in sorted(oracles):
     sql = oracles[name]
     try:
+        t0 = time.perf_counter()
         con.sql(sql).fetchall()  # warmup (page cache + plan)
+        warm = time.perf_counter() - t0
+        # heavy twins (brute-force oracle forms) get one timed run, not N —
+        # the baseline wants total suite cost, not per-query micro-precision
+        iters = ITERS if warm < 10 else 1
         times = []
-        for _ in range(ITERS):
+        for _ in range(iters):
             t0 = time.perf_counter()
             con.sql(sql).fetchall()
             times.append(time.perf_counter() - t0)
         results[name] = round(min(times), 3)
+        print(f"done {name}: {results[name]}s (warm {warm:.1f}s)",
+              file=sys.stderr, flush=True)
     except Exception as e:
         results[name] = None
-        print(f"ERROR {name}: {e}", file=sys.stderr)
+        print(f"ERROR {name}: {e}", file=sys.stderr, flush=True)
 
 ok = {k: v for k, v in results.items() if v is not None}
 out = {"metric": "oracle_total", "value": round(sum(ok.values()), 3),
