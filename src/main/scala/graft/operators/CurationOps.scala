@@ -175,5 +175,95 @@ object CurationOps {
       WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':sample'), 1, 8))::BIGINT % 100 < keep_pct
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q81, q82)
+  /** q84 — C4/Gopher-style document quality filtering (the standard
+    * pre-training cleaning stage; rules from the public C4 and Gopher
+    * papers re-expressed as exact-arithmetic Column predicates): token
+    * count bounds, distinct-token ratio (repetition), mean word length,
+    * and top-token frequency fraction (the "most common word" rule). All
+    * four metrics are int/int divisions — bit-exact across engines — so
+    * both the metrics AND the boolean verdict are oracle-checked per doc.
+    * At 100 TB this is a narrow per-row pass: no shuffle, no state. */
+  private val q84 = GraftQuery(
+    "q84_quality_filter",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val uniq = size(array_distinct(toks)).cast("double") / nTok
+      // single-space-joined text: total word chars = length - (n-1) spaces
+      val meanW = (length(col("text")) - nTok + 1).cast("double") / nTok
+      val topFrac = array_max(transform(array_distinct(toks),
+        w => size(filter(toks, x => x === w)))).cast("double") / nTok
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          nTok.cast("long").as("n_tokens"),
+          round(uniq, 6).as("uniq_ratio"),
+          round(meanW, 6).as("mean_wlen"),
+          round(topFrac, 6).as("top_tok_frac"),
+          (nTok >= 20 && uniq >= 0.5 && topFrac <= 0.2 &&
+            meanW.between(3, 6)).as("passes"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+               length(text) AS lc FROM documents),
+      m AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+              CAST(lc - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_wlen,
+              CAST(list_max(list_transform(list_distinct(toks),
+                w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+                / len(toks) AS top_tok_frac
+            FROM t)
+      SELECT doc_id, source, n_tokens,
+        round(uniq_ratio, 6) AS uniq_ratio,
+        round(mean_wlen, 6) AS mean_wlen,
+        round(top_tok_frac, 6) AS top_tok_frac,
+        (n_tokens >= 20 AND uniq_ratio >= 0.5 AND top_tok_frac <= 0.2
+          AND mean_wlen BETWEEN 3 AND 6) AS passes
+      FROM m ORDER BY doc_id"""))
+
+  /** q85 — benchmark decontamination (the industry-standard pre-training
+    * stage: drop/flag training documents that share n-grams with an eval
+    * set): a deterministic eval slice (doc_id % 97 = 0) contributes its
+    * distinct 3-word shingles; training docs are flagged with their
+    * shared-shingle count and overlap fraction. Scale shape: the eval
+    * shingle set is small by construction → BROADCAST hash join against
+    * the exploded training shingles (map-side, no shuffle of the corpus);
+    * the only wide op is the per-doc count aggregation on integer keys. */
+  private val q85 = GraftQuery(
+    "q85_decontaminate_ngrams",
+    (s, d) => {
+      import graft.functions.HashFunctions.shingles
+      import graft.functions.TextFunctions.tokens
+      val sh = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("sg"))
+      val ev = sh.filter(col("doc_id") % 97 === 0).select(col("sg")).distinct()
+      val train = sh.filter(col("doc_id") % 97 =!= 0)
+      val shared = train.join(broadcast(ev), Seq("sg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared")) // shingles() is distinct per doc
+      val totals = train.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"))
+      shared.join(totals, Seq("doc_id"))
+        .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+          round(col("n_shared").cast("double") / col("n_shingles"), 6)
+            .as("overlap_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.functions.HashFunctions.shinglesSql
+      s"""WITH sh AS (SELECT doc_id,
+              unnest(${shinglesSql("string_split(text, ' ')")}) AS sg
+            FROM documents),
+      ev AS (SELECT DISTINCT sg FROM sh WHERE doc_id % 97 = 0),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+              FROM sh WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+      shr AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+              FROM sh s JOIN ev USING (sg)
+              WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id)
+      SELECT doc_id, n_shared, n_shingles,
+        round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS overlap_ratio
+      FROM shr JOIN tot USING (doc_id) ORDER BY doc_id"""
+    })
+
+  val all: Seq[GraftQuery] = Seq(q81, q82, q84, q85)
 }
