@@ -289,6 +289,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming content dedup: LSH sketch store admits only never-seen docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdedup").toString
+    val store = s"$dir/store"
+    val mem = MemoryStream[(Long, String)]
+    def go(): Unit = {
+      val q = graft.streaming.StreamingContentDedup.start(
+        mem.toDF().toDF("doc_id", "text"), store, s"$dir/ckpt")
+      q.awaitTermination()
+    }
+    val a = "the quick brown fox jumps over the lazy dog while the cat sleeps"
+    val b = "completely different content about spark partitions and shuffles at scale"
+    val c = "fresh unrelated text mentioning minhash signatures and band buckets"
+    mem.addData((1L, a), (2L, b))
+    go()
+    // batch 2: near-dup of a (one appended word → jaccard 11/12), exact dup
+    // of b, a new doc, and an in-batch identical pair (min doc_id survives)
+    mem.addData((3L, a + " tail"), (4L, b), (5L, c), (6L, c))
+    go()
+    def docIds: Set[Long] = spark.read.parquet(s"$store/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(docIds == Set(1L, 2L, 5L))
+    // replay idempotence: re-running batch 1 against the post-write store
+    // (own partition excluded from the dedup read) changes nothing
+    val b2 = Seq((3L, a + " tail"), (4L, b), (5L, c), (6L, c))
+      .toDF("doc_id", "text")
+    graft.streaming.StreamingContentDedup.processBatch(store)(b2, 1L)
+    assert(docIds == Set(1L, 2L, 5L), "replayed batch changed the store")
+    // the sketch store carries one row per (admitted doc, band)
+    val sk = spark.read.parquet(s"$store/sketches")
+    assert(sk.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+    assert(sk.groupBy("doc_id").count().select("count").as[Long]
+      .collect().forall(_ == graft.functions.HashFunctions.NumBands))
+  }
+
   test("checkpoint-resume: restarted query does not recount processed data") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
