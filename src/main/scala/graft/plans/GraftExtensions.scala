@@ -31,6 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => StringRatioBoundRule)
+    e.injectOptimizerRule(_ => RankFilterToTopK)
+    e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }
 
@@ -40,6 +42,12 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(StringRatioBoundRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ StringRatioBoundRule
+    if (!spark.experimental.extraOptimizations.contains(RankFilterToTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RankFilterToTopK
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
     registerSql(spark)
   }
 

@@ -98,6 +98,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "profile join fell back to SMJ")
   }
 
+  test("top-k-per-group: rank-filter idiom planned as TopKPerGroupExec, not Window") {
+    for (name <- Seq("q07_top3_orders_per_customer", "q14_last_writer_wins")) {
+      val p = planOf(name)
+      // two-phase: partial heaps before the shuffle, final emits ranks
+      // (physical nodes print without the Exec suffix)
+      assert("TopKPerGroup \\[".r.findAllIn(p).size == 2,
+        s"$name: expected partial+final TopKPerGroupExec\n$p")
+      assert(!p.contains("WindowGroupLimit"),
+        s"$name: builtin WindowGroupLimit stack not subsumed\n$p")
+      assert(!p.contains("Window ["),
+        s"$name: window operator survived the rewrite\n$p")
+    }
+  }
+
   test("q82: sampling is a pure map — broadcast rates, only the output sort shuffles") {
     val p = planOf("q82_stratified_split")
     assert(p.contains("BroadcastHashJoin"), p)

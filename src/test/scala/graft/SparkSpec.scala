@@ -7,12 +7,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * dedups across suites; UTC + small shuffle partitions mirror the
   * driver's Verify/Bench configs). */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // deterministic extension install (suites share one JVM session;
+    // relying on another suite's install() made plan shapes order-dependent)
+    graft.plans.GraftExtensions.install(s)
+    s
+  }
 
   lazy val sf: String = "/root/testdata/sf0.001"
 
