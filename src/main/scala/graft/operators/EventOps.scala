@@ -261,6 +261,44 @@ object EventOps {
       UNION ALL SELECT 'first_only', user_id, n FROM fonly
       ORDER BY tag, user_id"""))
 
+  /** Two-table AS-OF join via the custom sort-merge operator
+    * (graft.plans.AsOfJoinExec — the §4(c) stack on an operator Spark
+    * lacks): every purchase picks up the latest click at-or-before it per
+    * user. q53 is the one-table window form of this shape; here left and
+    * right are independent frames, which the window trick cannot express
+    * without a union-tag re-shuffle of both sides. The right side is
+    * pre-aggregated to one row per (user, ts) so as-of tie-break
+    * ambiguity cannot enter the output (same discipline DuckDB ASOF JOIN
+    * needs). Oracle: DuckDB's NATIVE ASOF LEFT JOIN — two independent
+    * engines' as-of implementations must agree row-for-row. */
+  private val q86 = GraftQuery(
+    "q86_asof_join_two_table",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .agg(max(col("event_id")).as("c_event"))
+        .select(col("c_user"), col("c_ts"), col("c_event"))
+      graft.plans.AsOfJoin.asof(purchases, clicks,
+          keys = Seq("user_id" -> "c_user"), "ts", "c_ts")
+        .select(col("event_id"), col("user_id"), ftsu(col("ts")).as("ts_s"),
+          coalesce(col("c_event"), lit(-1L)).as("c_event"),
+          coalesce(ftsu(col("c_ts")), lit("-")).as("c_ts_s"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'),
+      c AS (SELECT user_id AS c_user, ts AS c_ts, max(event_id) AS c_event
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        coalesce(c.c_event, -1) AS c_event,
+        coalesce(strftime(c.c_ts, '%Y-%m-%d %H:%M:%S.%f'), '-') AS c_ts_s
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND p.ts >= c.c_ts
+      ORDER BY p.event_id"""))
+
   val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q48, q49, q53,
-    q54, q73, q74)
+    q54, q73, q74, q86)
 }

@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => StringRatioBoundRule)
     e.injectOptimizerRule(_ => RankFilterToTopK)
     e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -48,6 +49,9 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
     registerSql(spark)
   }
 

@@ -112,6 +112,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q86: as-of join plans as the custom sort-merge exec, no window/cartesian") {
+    val p = planOf("q86_asof_join_two_table")
+    assert(p.contains("AsOfJoin"), s"custom as-of exec missing\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of degenerated to a pair-exploding join\n$p")
+    assert(!p.contains("Window ["), s"as-of fell back to the union-window trick\n$p")
+  }
+
   test("q82: sampling is a pure map — broadcast rates, only the output sort shuffles") {
     val p = planOf("q82_stratified_split")
     assert(p.contains("BroadcastHashJoin"), p)

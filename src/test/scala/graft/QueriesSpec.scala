@@ -216,6 +216,33 @@ class QueriesSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("as-of join matches a brute-force reference on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // left: (id, key, time); right raw: (id, key, time) — deduped per
+    // (key, time) below so the as-of pick is unambiguous
+    val left = (0 until 500).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+    val rightRaw = (0 until 300).map(i =>
+      (i.toLong + 1000, rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong))
+    val rightDedup = rightRaw.groupBy(e => (e._2, e._3))
+      .map { case ((k, t), es) => (es.map(_._1).max, k, t) }.toSeq
+    val l = left.toDF("l_id", "k", "t")
+    val r = rightDedup.toDF("r_id", "rk", "rt")
+    val got = graft.plans.AsOfJoin.asof(l, r, Seq("k" -> "rk"), "t", "rt")
+      .select("l_id", "r_id").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    val byKey = rightDedup.groupBy(_._2)
+    val expected = left.map { case (id, k, t) =>
+      val cand = byKey.getOrElse(k, Nil).filter(_._3 <= t)
+      (id, if (cand.isEmpty) -1L else cand.maxBy(e => (e._3, e._1))._1)
+    }.toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.exists(_._2 >= 0) && expected.exists(_._2 == -1L),
+      "test data must exercise both matched and unmatched rows")
+  }
+
   test("connectedComponents matches union-find on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
