@@ -299,6 +299,44 @@ object EventOps {
       FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND p.ts >= c.c_ts
       ORDER BY p.event_id"""))
 
+  /** Bucketized RANGE JOIN (SURVEY O-family scale rewrite; the interval
+    * shape the brief's custom-operator list names alongside as-of): events
+    * against 2-hour windows. The naive plan for `ts BETWEEN start AND end`
+    * is a pair-exploding BroadcastNestedLoopJoin; the scale rewrite
+    * buckets time into epoch-hours — each window EXPLODES into the 3 hour
+    * buckets it can overlap, each event lands in EXACTLY ONE bucket (so
+    * every true pair meets exactly once — no dedup), the join is a plain
+    * equi-join on the bucket, and the precise range predicate filters
+    * map-side. O(n + m·3) join input instead of O(n·m) pairs; at 100 TB
+    * the hour bucket is the shuffle key. */
+  private val q87 = GraftQuery(
+    "q87_range_join_bucketed",
+    (s, d) => {
+      val MicrosPerHour = 3600000000L
+      def hb(c: org.apache.spark.sql.Column) =
+        expr(s"unix_micros(${c.toString}) div $MicrosPerHour")
+      val ev = t(s, d, "events")
+      val win = ev.filter(col("event_id") % 499 === 0)
+        .select(col("event_id").as("win_id"), col("ts").as("w_start"),
+          expr("timestampadd(HOUR, 2, ts)").as("w_end"))
+      val wb = win.withColumn("hb",
+        explode(sequence(hb(col("w_start")), hb(col("w_end")))))
+      val eb = ev.select(col("event_id"), col("ts")).withColumn("hb", hb(col("ts")))
+      eb.join(wb, Seq("hb"))
+        .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_ev"), max(col("event_id")).as("last_ev"))
+        .orderBy(col("win_id"))
+    },
+    Some("""WITH w AS (SELECT event_id AS win_id, ts AS w_start,
+               ts + INTERVAL 2 HOUR AS w_end
+             FROM events WHERE event_id % 499 = 0)
+      SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
+        min(e.event_id) AS first_ev, max(e.event_id) AS last_ev
+      FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+      GROUP BY win_id ORDER BY win_id"""))
+
   val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q48, q49, q53,
-    q54, q73, q74, q86)
+    q54, q73, q74, q86, q87)
 }

@@ -120,6 +120,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window ["), s"as-of fell back to the union-window trick\n$p")
   }
 
+  test("q87: range join is a bucket equi-join, never a nested-loop pair explosion") {
+    val p = planOf("q87_range_join_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to pair explosion\n$p")
+    assert(p.contains("hb"), s"bucket key missing from the join\n$p")
+  }
+
   test("q82: sampling is a pure map — broadcast rates, only the output sort shuffles") {
     val p = planOf("q82_stratified_split")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -83,4 +83,18 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() > 0)
     assert(back.select("doc_id").distinct().count() == back.count())
   }
+
+  test("ORC source round-trip with predicate pushdown (second columnar format)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val docs = Tables.t(spark, sf, "documents")
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter(col("doc_id") < 100)
+      .select("doc_id", "lang")
+    assert(back.count() ==
+      docs.filter(col("doc_id") < 100).count())
+    // the filter reaches the ORC scan (pushdown parity with parquet)
+    val f = back.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(f.contains("PushedFilters") && f.contains("LessThan(doc_id"), f)
+  }
 }
