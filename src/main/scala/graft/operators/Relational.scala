@@ -511,7 +511,81 @@ object Relational {
       CAST(max(date_diff('day', DATE '1995-01-01', o_orderdate)) AS BIGINT) AS max_days_since_epoch0
       FROM orders GROUP BY 1, 2, 3 ORDER BY order_month"""))
 
+  /** 6-table star join (the TPC-H Q5 shape): revenue per nation for one
+    * region and order-year, with local suppliers (customer and supplier
+    * share a nation). Exercises Catalyst's join reordering + broadcast
+    * selection across a dim chain (region→nation tiny, customer/supplier
+    * medium, orders filtered, lineitem fact) — the optimizer, not the
+    * author, decides the join tree; PlanSpec asserts dims broadcast. */
+  private val q88 = GraftQuery(
+    "q88_star_join_q5",
+    (s, d) => {
+      val o = t(s, d, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      t(s, d, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name,
+      CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** Window-function breadth beyond frames/lag/ntile (SURVEY §2.5):
+    * percent_rank, cume_dist, nth_value, dense_rank in one pass. The
+    * rank-family outputs are int/int-derived doubles — bit-exact. */
+  private val q89 = GraftQuery(
+    "q89_window_rank_family",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer")
+        .filter(col("c_nationkey") < 5)
+        .select(col("c_nationkey"), col("c_custkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          dense_rank().over(w).cast("long").as("drank"),
+          coalesce(nth_value(col("c_custkey"), 3).over(
+            Window.partitionBy(col("c_nationkey"))
+              .orderBy(col("c_acctbal"), col("c_custkey"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            lit(-1L)).as("third_key"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    },
+    Some("""SELECT c_nationkey, c_custkey,
+      round(percent_rank() OVER w, 6) AS pct_rank,
+      round(cume_dist() OVER w, 6) AS cume,
+      CAST(dense_rank() OVER w AS BIGINT) AS drank,
+      coalesce(nth_value(c_custkey, 3) OVER
+        (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS third_key
+      FROM customer WHERE c_nationkey < 5
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_nationkey, c_custkey"""))
+
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q27, q51, q52, q55,
-    q58, q59, q67)
+    q58, q59, q67, q88, q89)
 }
