@@ -494,6 +494,69 @@ object DedupText {
             FROM documents WHERE doc_id < 50)
       ORDER BY doc_id, ordinality"""))
 
+  /** BM25 top-k text retrieval over the document corpus — the lexical
+    * ranking twin of the embedding ladder (q20→q80→q26). One tokenize
+    * pass feeds a single (doc_id, tok) count shuffle from which BOTH
+    * document length and per-term tf derive; query terms, df, and corpus
+    * stats are broadcast (3/3/1 rows), so the only wide exchanges are the
+    * token count and the final doc-id join — the shape that holds at
+    * 100 TB.
+    *
+    * Engine portability (the reason this is hash-checked, not rows-only):
+    * the BM25 idf is integer-quantized as 1+floor(log2((N+1)/(df+1))) via
+    * `length(bin(x))` (libm ln is not bit-portable), the tf-saturation
+    * ratio is a fixed IEEE op sequence written with identical
+    * parenthesization in both engines (bit-identical doubles), and each
+    * per-(doc,term) contribution is rounded to integer micro-units BEFORE
+    * the per-doc sum so the aggregate is an order-independent integer sum
+    * (float sums are order-dependent; integer sums are not). k1=1.2,
+    * b=0.75 (the standard Robertson defaults). */
+  private val q90 = GraftQuery(
+    "q90_bm25_retrieval",
+    (s, d) => {
+      import s.implicits._
+      val tc = t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val terms = Seq("dup", "merge", "vector").toDF("tok")
+      val tf = tc.join(broadcast(terms), Seq("tok")).withColumnRenamed("c", "tf")
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", length(bin(expr("(n + 1) div (df + 1)"))).cast("long"))
+        .withColumn("contrib",
+          col("idf") * ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+        .withColumn("contrib_micro", round(col("contrib") * lit(1e6), 0).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("contrib_micro")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+      dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM tc GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      terms(tok) AS (VALUES ('dup'), ('merge'), ('vector')),
+      tf AS (SELECT doc_id, tok, c AS tf FROM tc JOIN terms USING (tok)),
+      dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      scored AS (
+        SELECT doc_id,
+          CAST(round((CAST(length(bin((n + 1) // (df + 1))) AS BIGINT) *
+            ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))) * 1000000.0)
+            AS BIGINT) AS contrib_micro
+        FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), stats)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(contrib_micro) AS BIGINT) AS score_micro
+      FROM scored GROUP BY doc_id
+      ORDER BY score_micro DESC, doc_id LIMIT 20"""))
+
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q57, q66, q68, q69, q71, q72, q75)
+    q38, q57, q66, q68, q69, q71, q72, q75, q90)
 }

@@ -337,6 +337,51 @@ object EventOps {
       FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
       GROUP BY win_id ORDER BY win_id"""))
 
+  /** Time-series gap-fill + LOCF: densify per-user daily activity onto a
+    * full calendar (sequence→explode, broadcast 30-row dim), fill missing
+    * counts with 0, and carry the last observed daily value forward with
+    * `last(_, ignoreNulls).over(rowsBetween(unboundedPreceding, current))`
+    * — the resample/forward-fill primitive of telemetry pipelines. The
+    * dense frame shuffles once on user_id (the window key); the calendar
+    * is a broadcast nested-loop against the tiny distinct-user dim.
+    * LOCF'd values are copied, never recomputed → bit-exact. */
+  private val q93 = GraftQuery(
+    "q93_gapfill_locf",
+    (s, d) => {
+      val ev = t(s, d, "events").filter(col("user_id") < 15)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("day_value"))
+      val users = ev.select(col("user_id")).distinct()
+      val cal = s.range(1).select(explode(sequence(
+        lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      users.crossJoin(broadcast(cal))
+        .join(ev, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          coalesce(last(col("day_value"), ignoreNulls = true).over(w),
+            lit(-1.0)).as("locf_value"))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cnt"), col("locf_value"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        FROM events WHERE user_id < 15 GROUP BY 1, 2),
+      users AS (SELECT DISTINCT user_id FROM ev),
+      cal AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day),
+      dense AS (SELECT user_id, day FROM users, cal)
+      SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        CAST(coalesce(cnt, 0) AS BIGINT) AS cnt,
+        coalesce(last_value(day_value IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) AS locf_value
+      FROM dense LEFT JOIN ev USING (user_id, day)
+      ORDER BY user_id, day"""))
+
   val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q48, q49, q53,
-    q54, q73, q74, q86, q87)
+    q54, q73, q74, q86, q87, q93)
 }

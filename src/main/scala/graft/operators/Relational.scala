@@ -585,7 +585,28 @@ object Relational {
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
       ORDER BY c_nationkey, c_custkey"""))
 
+  /** UNPIVOT (melt): wide part metrics → long (metric, value) rows via
+    * the Dataset.unpivot operator — a narrow per-row expansion (Expand
+    * node, no shuffle). Both metrics cast to a common DOUBLE; values are
+    * copied, not computed, so equality is bit-exact. DuckDB oracle uses
+    * the equivalent UNION ALL form. */
+  private val q92 = GraftQuery(
+    "q92_unpivot_part_metrics",
+    (s, d) => {
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "value")
+        .orderBy(col("p_partkey"), col("metric"))
+    },
+    Some("""SELECT p_partkey, metric, value FROM (
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part)
+      ORDER BY p_partkey, metric"""))
+
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q27, q51, q52, q55,
-    q58, q59, q67, q88, q89)
+    q58, q59, q67, q88, q89, q92)
 }

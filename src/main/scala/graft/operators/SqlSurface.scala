@@ -18,6 +18,26 @@ object SqlSurface {
     s.sql(sql)
   }
 
+  /** Explicit GROUPING SETS (beyond q11's ROLLUP / q51's CUBE): four
+    * hand-picked sets with grouping() disambiguation — one partial
+    * aggregation expanded per set, still a single shuffle in Spark's
+    * Expand-based plan. Same ANSI text runs in both engines. */
+  private val groupingSetsSql =
+    """SELECT coalesce(CAST(c_nationkey AS VARCHAR(10)), 'ALL') AS nation,
+      coalesce(c_mktsegment, 'ALL') AS segment,
+      CAST(grouping(c_nationkey) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid,
+      count(*) AS cnt,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM customer WHERE c_nationkey < 5
+      GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment), (c_nationkey),
+                              (c_mktsegment), ())
+      ORDER BY gid, nation, segment"""
+
+  private val q91 = GraftQuery(
+    "q91_grouping_sets",
+    (s, d) => withViews(s, d)(groupingSetsSql),
+    Some(groupingSetsSql))
+
   /** Correlated EXISTS subquery — planned as a left-semi join by Catalyst
     * (the decorrelation rule), same shape as q05's explicit semi join. */
   private val existsSql =
@@ -42,5 +62,5 @@ object SqlSurface {
     (s, d) => withViews(s, d)(scalarSql),
     Some(scalarSql))
 
-  val all: Seq[GraftQuery] = Seq(q18, q19)
+  val all: Seq[GraftQuery] = Seq(q18, q19, q91)
 }

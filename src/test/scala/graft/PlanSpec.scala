@@ -127,6 +127,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hb"), s"bucket key missing from the join\n$p")
   }
 
+  test("q88: star join broadcasts dims; fact join never degenerates to cartesian") {
+    val p = planOf("q88_star_join_q5")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast dim join\n$p")
+    assert(!p.contains("CartesianProduct"), "star join degenerated to cartesian")
+  }
+
+  test("q90: BM25 side tables broadcast; only token-count + doc joins shuffle") {
+    val p = planOf("q90_bm25_retrieval")
+    // terms (3 rows), dfreq (3 rows), stats (1 row) must all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k fell back to global sort")
+  }
+
+  test("q92: unpivot plans as a narrow Expand — no shuffle before the output sort") {
+    val p = planOf("q92_unpivot_part_metrics")
+    assert(p.contains("Expand"), s"unpivot not planned as Expand\n$p")
+    // exactly one exchange: the final orderBy's range partitioning
+    assert("Exchange".r.findAllIn(p).size == 1, s"unexpected shuffles\n$p")
+  }
+
+  test("q93: gap-fill calendar is broadcast; LOCF window keyed on user_id") {
+    val p = planOf("q93_gapfill_locf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"calendar dim not broadcast\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
   test("q82: sampling is a pure map — broadcast rates, only the output sort shuffles") {
     val p = planOf("q82_stratified_split")
     assert(p.contains("BroadcastHashJoin"), p)

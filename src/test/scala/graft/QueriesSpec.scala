@@ -53,6 +53,22 @@ class QueriesSpec extends SparkSpec {
     assert(df.count() == df.select("user_id", "event_type").distinct().count())
   }
 
+  test("q90 BM25: rare term dominates, scores strictly ordered, idf sane") {
+    val rows = QueryRegistry.byName("q90_bm25_retrieval").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getAs[Long]("score_micro"))
+    assert(scores.sameElements(scores.sortBy(-_)), "top-k not score-descending")
+    // every doc matching the rare 'dup' term (idf 5) must outrank every
+    // doc matching only common terms (idf 1 each, <=2.2e6 max per term)
+    val dupDocs = Tables.t(spark, sf, "documents")
+      .filter(col("text").contains("dup")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val (withDup, without) = rows.partition(r => dupDocs(r.getAs[Long]("doc_id")))
+    if (withDup.nonEmpty && without.nonEmpty)
+      assert(withDup.map(_.getAs[Long]("score_micro")).min >
+        without.map(_.getAs[Long]("score_micro")).max)
+  }
+
   test("q26 IVF ANN achieves >=60% recall vs exact top-10") {
     val exact = QueryRegistry.byName("q20_vector_topk").fn(spark, sf)
       .orderBy("rank").select("vec_id").collect().map(_.getLong(0)).take(10).toSet
