@@ -67,4 +67,66 @@ class ScaleSpec extends SparkSpec {
       Tables.t(spark, sf, "lineitem").join(Tables.t(spark, sf, "orders"),
         col("l_orderkey") === col("o_orderkey")).count())
   }
+
+  /** Run a block with temporary SQL confs, restoring the originals after. */
+  private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
+    val saved = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits the skewed shuffle partition (skew=true in the final join)") {
+    // On a 1000-executor cluster a hot key turns one reducer into the
+    // straggler that owns the stage; AQE's OptimizeSkewedJoin must split
+    // it. Thresholds lowered so local[32]-sized data exhibits the split.
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val big = spark.range(0, 300000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = big.join(dim, Seq("k"))
+      // execute THIS Dataset (count() builds a sibling QueryExecution and
+      // the un-executed adaptive plan would still read isFinalPlan=false)
+      assert(j.collect().nonEmpty)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    }
+  }
+
+  test("runtime bloom filter prunes the fact scan from a selective dim filter") {
+    // At 100 TB, a selective dim predicate should semi-prune the fact
+    // side BEFORE the shuffle (InjectRuntimeFilter): the fact scan gains
+    // a might_contain(bloom) predicate built from the filtered dim keys.
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val part = Tables.t(spark, sf, "part").filter(col("p_size") === 1)
+      val li = Tables.t(spark, sf, "lineitem")
+      val j = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).count()
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$optimized")
+      // correctness unchanged by the filter
+      val expected = Tables.t(spark, sf, "lineitem")
+        .join(Tables.t(spark, sf, "part").filter(col("p_size") === 1),
+          col("l_partkey") === col("p_partkey")).count()
+      assert(j.agg(sum("count")).head().getLong(0) == expected)
+    }
+  }
 }
