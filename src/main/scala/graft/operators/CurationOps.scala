@@ -265,5 +265,88 @@ object CurationOps {
       FROM shr JOIN tot USING (doc_id) ORDER BY doc_id"""
     })
 
-  val all: Seq[GraftQuery] = Seq(q81, q82, q84, q85)
+  /** One named data-quality rule: `violation` is a boolean Column over the
+    * audited table's rows. */
+  final case class QualityCheck(name: String, violation: org.apache.spark.sql.Column)
+
+  /** Declarative single-pass data-quality audit: every rule becomes a
+    * conditional count inside ONE aggregation over ONE scan of the table
+    * — at 100 TB the difference between auditing and re-reading the
+    * corpus once per rule. The wide one-row result is unpivoted to long
+    * (check_name, violations) form. */
+  def audit(df: DataFrame, table: String, checks: Seq[QualityCheck]): DataFrame = {
+    val aggs = checks.map(c => sum(when(c.violation, 1L).otherwise(0L)).as(c.name))
+    val wide = df.agg(aggs.head, aggs.tail :+ count(lit(1)).as("_total"): _*)
+    wide.unpivot(Array(col("_total")), checks.map(c => col(c.name)).toArray,
+        "check_name", "violations")
+      .select(concat(lit(table + "."), col("check_name")).as("check_name"),
+        col("violations"), col("_total").as("total_rows"))
+  }
+
+  /** Constraint audit over orders + lineitem: null, range, and
+    * referential-integrity rules in long report form — the validation
+    * stage a training-data pipeline runs before anything downstream
+    * trusts the batch. Single-table rules ride one scan each (see
+    * `audit`); FK rules are anti-join counts shuffling only on the key. */
+  private val q94 = GraftQuery(
+    "q94_data_quality_audit",
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val c = t(s, d, "customer")
+      val singleTable =
+        audit(o, "orders", Seq(
+          QualityCheck("custkey_null", col("o_custkey").isNull),
+          QualityCheck("totalprice_nonpositive", col("o_totalprice") <= 0),
+          QualityCheck("orderdate_after_1996",
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))))
+        .unionByName(audit(li, "lineitem", Seq(
+          QualityCheck("quantity_out_of_1_50",
+            col("l_quantity") < 1 || col("l_quantity") > 50),
+          QualityCheck("quantity_gt_45", col("l_quantity") > 45),
+          QualityCheck("discount_out_of_0_01",
+            col("l_discount") < 0.0 || col("l_discount") > 0.1))))
+      val fkLi = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .crossJoin(li.agg(count(lit(1)).as("total_rows")))
+        .select(lit("lineitem.fk_orderkey_orphans").as("check_name"),
+          col("violations"), col("total_rows"))
+      val fkO = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .crossJoin(o.agg(count(lit(1)).as("total_rows")))
+        .select(lit("orders.fk_custkey_orphans").as("check_name"),
+          col("violations"), col("total_rows"))
+      singleTable.unionByName(fkLi).unionByName(fkO)
+        .orderBy(col("check_name"))
+    },
+    Some("""SELECT check_name, violations, total_rows FROM (
+      SELECT 'orders.custkey_null' AS check_name,
+        CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT) AS violations,
+        CAST((SELECT count(*) FROM orders) AS BIGINT) AS total_rows
+      UNION ALL SELECT 'orders.totalprice_nonpositive',
+        CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT),
+        CAST((SELECT count(*) FROM orders) AS BIGINT)
+      UNION ALL SELECT 'orders.orderdate_after_1996',
+        CAST((SELECT count(*) FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01') AS BIGINT),
+        CAST((SELECT count(*) FROM orders) AS BIGINT)
+      UNION ALL SELECT 'lineitem.quantity_out_of_1_50',
+        CAST((SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+        CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+      UNION ALL SELECT 'lineitem.quantity_gt_45',
+        CAST((SELECT count(*) FROM lineitem WHERE l_quantity > 45) AS BIGINT),
+        CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+      UNION ALL SELECT 'lineitem.discount_out_of_0_01',
+        CAST((SELECT count(*) FROM lineitem WHERE l_discount < 0.0 OR l_discount > 0.1) AS BIGINT),
+        CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+      UNION ALL SELECT 'lineitem.fk_orderkey_orphans',
+        CAST((SELECT count(*) FROM lineitem WHERE NOT EXISTS
+          (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS BIGINT),
+        CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+      UNION ALL SELECT 'orders.fk_custkey_orphans',
+        CAST((SELECT count(*) FROM orders WHERE NOT EXISTS
+          (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS BIGINT),
+        CAST((SELECT count(*) FROM orders) AS BIGINT))
+      ORDER BY check_name"""))
+
+  val all: Seq[GraftQuery] = Seq(q81, q82, q84, q85, q94)
 }

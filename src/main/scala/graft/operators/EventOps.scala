@@ -382,6 +382,51 @@ object EventOps {
       FROM dense LEFT JOIN ev USING (user_id, day)
       ORDER BY user_id, day"""))
 
+  /** Statistical anomaly detection: z-score of each day's event count
+    * against its event_type's 30-day distribution, flagging |z| >= 1.5.
+    * Engine-portable because every aggregate is an INTEGER sum (count,
+    * sum(cnt), sum(cnt²) — exact in any order); mean/variance/z are then
+    * a fixed IEEE double op sequence over identical integers, so the
+    * float threshold cannot flip membership across engines. Stats are a
+    * tiny per-type broadcast; the daily rollup is the only wide shuffle. */
+  private val q95 = GraftQuery(
+    "q95_zscore_anomalies",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+          sum(col("cnt") * col("cnt")).as("sq"))
+      daily.join(broadcast(stats), Seq("event_type"))
+        .withColumn("mean", col("s").cast("double") / col("n"))
+        .withColumn("variance",
+          col("sq").cast("double") / col("n") - col("mean") * col("mean"))
+        .filter(col("variance") > 0)
+        .withColumn("z",
+          (col("cnt").cast("double") - col("mean")) / sqrt(col("variance")))
+        .filter(abs(col("z")) >= 1.5)
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cnt"), round(col("z"), 6).as("z"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s,
+               CAST(sum(cnt * cnt) AS BIGINT) AS sq
+        FROM daily GROUP BY 1),
+      scored AS (
+        SELECT event_type, day, cnt,
+          CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS variance,
+          (CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / n) /
+            sqrt(CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS z
+        FROM daily JOIN stats USING (event_type))
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt, round(z, 6) AS z
+      FROM scored WHERE variance > 0 AND abs(z) >= 1.5
+      ORDER BY event_type, day"""))
+
   val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q48, q49, q53,
-    q54, q73, q74, q86, q87, q93)
+    q54, q73, q74, q86, q87, q93, q95)
 }
