@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent ANN index as STORAGE LAYOUT: vectors are written to parquet
+  * partitioned by their sign-LSH cell, so a probe is a partition-PRUNED
+  * scan — files outside the probed cells are never opened. This is the
+  * piece q80 (in-query sign-LSH) deliberately leaves out: there the
+  * signature table is rebuilt per query; here it is paid ONCE at build
+  * time and every subsequent query reads ~(bits+1)/2^bits of the corpus
+  * straight off the directory structure.
+  *
+  * At 100 TB this is the difference between an ANN query that shuffles
+  * the corpus and one that reads 7/64ths of it with no shuffle at all:
+  * the cell id is the partition directory, Spark's InMemoryFileIndex
+  * prunes on `bucket IN (...)` before any task launches, and the exact
+  * cosine rescore runs only over probed files. Build cost amortizes
+  * across queries exactly like the reference's persistent MongoDB vector
+  * index (`backend/ai_service.py:60-75`'s `$vectorSearch` over a
+  * pre-built index, vs re-scanning the collection).
+  *
+  * The signature math is q80's (VectorSearch.scala): md5-derived integer
+  * hyperplanes × fixed-point vectors — deterministic, so build and probe
+  * always agree on cells.
+  */
+object IndexedVectorStore {
+  private val scale = 1000000L
+  val bits = 6
+  val dim = 64
+
+  private def fx(v: Column): Column = round(v.cast("double") * scale).cast("long")
+
+  /** bits × dim integer hyperplane table (tiny, broadcast). */
+  private def hyperplanes(s: SparkSession): DataFrame =
+    s.range(0, bits).toDF("jj")
+      .select(col("jj").cast("int").as("j"))
+      .select(col("j"),
+        posexplode(transform(sequence(lit(0), lit(dim - 1)),
+          i => conv(substring(md5(concat(col("j").cast("string"), lit("|"),
+            i.cast("string"))), 1, 8), 16, 10).cast("long") % 2001 - 1000))
+          .as(Seq("pos", "hv")))
+
+  /** (vec_id, bucket): packed sign bits of the hyperplane dot products. */
+  def signatures(s: SparkSession, emb: DataFrame): DataFrame = {
+    val ex = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"), fx(col("v")).as("ev"))
+    ex.join(broadcast(hyperplanes(s)), Seq("pos"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("ev") * col("hv")).as("dp"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("dp") >= 0, expr("shiftleft(1, j)"))
+        .otherwise(lit(0))).as("bucket"))
+  }
+
+  /** Build the store: one signature pass, then parquet partitioned by
+    * cell. Rows within a cell keep all payload columns. */
+  def build(s: SparkSession, emb: DataFrame, path: String): Unit =
+    emb.join(signatures(s, emb), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Multi-probe search: the query's cell plus all Hamming-1 neighbors
+    * (q80's probe set), exact cosine rescore inside probed cells only.
+    * `queryId`'s own row is read from the store (one point lookup); the
+    * probe-bucket list is bits+1 scalars — a driver-side constant, not a
+    * data collect — because it must be inlined into the partition filter
+    * for pruning to happen before task launch. */
+  def search(s: SparkSession, path: String, queryId: Long, k: Int): DataFrame = {
+    val store = s.read.parquet(path)
+    val qRow = store.filter(col("vec_id") === queryId)
+      .select(col("bucket"), col("embedding")).head()
+    // partition-directory values are type-inferred (int32 here); keep the
+    // probe literals in the COLUMN's type — a cast wrapped around the
+    // partition column would defeat partition pruning
+    val qBucket = qRow.getAs[Number](0).longValue()
+    val probes: Seq[Int] =
+      (qBucket +: (0 until bits).map(b => qBucket ^ (1L << b))).map(_.toInt)
+    val qVec = qRow.getSeq[Float](1)
+    val pruned = store.filter(col("bucket").isin(probes: _*))
+    val scored = pruned.withColumn("score",
+      graft.functions.VectorFunctions.cosine(col("embedding"),
+        lit(qVec.toArray).cast("array<float>")))
+    scored.orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("vec_id"))))
+      .select(col("rank"), col("vec_id"), col("label"))
+  }
+}

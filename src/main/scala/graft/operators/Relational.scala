@@ -606,7 +606,37 @@ object Relational {
         SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part)
       ORDER BY p_partkey, metric"""))
 
+  /** Equal-width histogram of order totals: 10 buckets spanning the
+    * observed [min, max]. The bucket function is one fixed IEEE double
+    * op sequence over identical inputs (stored doubles, broadcast
+    * min/max) so bucket membership is engine-portable even for values
+    * landing exactly on a boundary; the bucket stats themselves are
+    * a count plus DECIMAL-routed sums. Min/max are a 1-row broadcast;
+    * the histogram is one partial+final aggregation over the scan. */
+  private val q96 = GraftQuery(
+    "q96_histogram_totalprice",
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val mm = o.agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      o.crossJoin(broadcast(mm))
+        .withColumn("bucket",
+          least(lit(9L), floor((col("o_totalprice") - col("mn")) /
+            ((col("mx") - col("mn")) / lit(10.0)))))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        FROM orders)
+      SELECT least(9, CAST(floor((o_totalprice - mn) / ((mx - mn) / 10.0)) AS BIGINT)) AS bucket,
+        count(*) AS cnt,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders, mm
+      GROUP BY 1 ORDER BY bucket"""))
+
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q27, q51, q52, q55,
-    q58, q59, q67, q88, q89, q92)
+    q58, q59, q67, q88, q89, q92, q96)
 }
