@@ -427,6 +427,92 @@ object EventOps {
       FROM scored WHERE variance > 0 AND abs(z) >= 1.5
       ORDER BY event_type, day"""))
 
+  /** Ordered funnel analysis (view → click → purchase): each step's
+    * timestamp is the MIN event time strictly after the previous step's
+    * and within a bounded conversion window (1 h to click, 24 h to purchase) — the sequential-conversion
+    * semantics product analytics needs (a click before the first view
+    * does not count, nor does one a week later). Three aggregations
+    * and two joins, ALL keyed on user_id — one logical shuffle key end
+    * to end, so at 100 TB the funnel is a single co-partitioned
+    * pipeline. Counts are integers; the conversion ratio is one double
+    * division (portable). */
+  private val q97 = GraftQuery(
+    "q97_funnel_view_click_purchase",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      def cnt(df: DataFrame, step: Long, name: String) =
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(step).as("step"), lit(name).as("step_name"), col("users"))
+      val base = t1.agg(count(lit(1)).as("base"))
+      cnt(t1, 1L, "view").unionByName(cnt(t2, 2L, "click"))
+        .unionByName(cnt(t3, 3L, "purchase"))
+        .crossJoin(broadcast(base))
+        .select(col("step"), col("step_name"), col("users"),
+          round(col("users").cast("double") / col("base"), 6).as("conv_from_step1"))
+        .orderBy(col("step"))
+    },
+    Some("""WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+      t2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN t1 USING (user_id)
+             WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 1 HOUR GROUP BY 1),
+      t3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN t2 USING (user_id)
+             WHERE event_type = 'purchase' AND ts > t2 AND ts <= t2 + INTERVAL 24 HOURS GROUP BY 1),
+      counts AS (
+        SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM t1) AS users
+        UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+        UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3))
+      SELECT CAST(step AS BIGINT) AS step, step_name,
+        CAST(users AS BIGINT) AS users,
+        round(CAST(users AS DOUBLE) / (SELECT count(*) FROM t1), 6) AS conv_from_step1
+      FROM counts ORDER BY step"""))
+
+  /** Cohort retention: users grouped by first-activity day, retained if
+    * active exactly 7 / 14 days later. One distinct-activity rollup and
+    * one cohort join, both keyed on user_id; conditional distinct counts
+    * are integers and the retention rates single double divisions. */
+  private val q98 = GraftQuery(
+    "q98_cohort_retention",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val first = ev.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("cohort"))
+      val act = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      first.join(act, Seq("user_id"))
+        .groupBy(col("cohort"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("day") === date_add(col("cohort"), 7),
+            col("user_id"))).as("d7"),
+          countDistinct(when(col("day") === date_add(col("cohort"), 14),
+            col("user_id"))).as("d14"))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("n_users"), col("d7"), col("d14"),
+          round(col("d7").cast("double") / col("n_users"), 6).as("d7_rate"),
+          round(col("d14").cast("double") / col("n_users"), 6).as("d14_rate"))
+        .orderBy(col("cohort"))
+    },
+    Some("""WITH first AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1),
+      act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        CAST(count(DISTINCT CASE WHEN day = cohort + 7 THEN user_id END) AS BIGINT) AS d7,
+        CAST(count(DISTINCT CASE WHEN day = cohort + 14 THEN user_id END) AS BIGINT) AS d14,
+        round(CAST(count(DISTINCT CASE WHEN day = cohort + 7 THEN user_id END) AS DOUBLE)
+          / count(DISTINCT user_id), 6) AS d7_rate,
+        round(CAST(count(DISTINCT CASE WHEN day = cohort + 14 THEN user_id END) AS DOUBLE)
+          / count(DISTINCT user_id), 6) AS d14_rate
+      FROM first JOIN act USING (user_id)
+      GROUP BY first.cohort ORDER BY cohort"""))
+
   val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q48, q49, q53,
-    q54, q73, q74, q86, q87, q93, q95)
+    q54, q73, q74, q86, q87, q93, q95, q97, q98)
 }
