@@ -89,3 +89,56 @@ object StreamingOps {
 case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                      event_type: String, value: Double)
 case class Milestone(user_id: Long, milestone: Long, at_event_id: Long)
+
+/** Per-user funnel progress in epoch MICROS (events carry micro precision;
+  * java.sql.Timestamp.getTime would truncate to millis and shift the
+  * conversion-window boundary vs the batch twin). */
+case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = step not reached
+case class FunnelHit(user_id: Long, step: Int, at_event_id: Long)
+
+object StreamingFunnel {
+  private val hour = 3600000000L
+  private val day = 86400000000L
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  /** Streaming funnel state machine (batch twin: q97): per user, first
+    * view, first click within 1 h of it, first purchase within 24 h of
+    * that — one FunnelState (3 longs) per user, bounded by key
+    * cardinality. Events are sorted by event time WITHIN each micro-batch;
+    * step hits are emitted exactly once (Append mode). Equal to the batch
+    * funnel whenever per-user arrival respects event time across batches
+    * (the general out-of-order case needs watermark-delayed emission —
+    * a deliberate non-goal here, matching how the reference processes its
+    * generation log strictly in sequence, movie_generator.py:179-238). */
+  def funnel(events: org.apache.spark.sql.Dataset[UserEvent]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelHit]()
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            e.event_type match {
+              case "view" if st.t1 < 0 =>
+                st = st.copy(t1 = t); out += FunnelHit(userId, 1, e.event_id)
+              case "click" if st.t1 >= 0 && st.t2 < 0 &&
+                  t > st.t1 && t <= st.t1 + hour =>
+                st = st.copy(t2 = t); out += FunnelHit(userId, 2, e.event_id)
+              case "purchase" if st.t2 >= 0 && st.t3 < 0 &&
+                  t > st.t2 && t <= st.t2 + day =>
+                st = st.copy(t3 = t); out += FunnelHit(userId, 3, e.event_id)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
+}

@@ -346,4 +346,41 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("ckpt_out2").filter(col("user_id") === 1)
       .head().getAs[Long]("n") == 2L)
   }
+
+  test("streaming funnel equals the batch funnel (q97) on ordered replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.UserEvent
+    def mic(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    // full sf0.001 events replayed in event-time order across two batches
+    // (the funnel's documented parity precondition); state must carry the
+    // per-user step progress across the batch boundary
+    val evs = Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[UserEvent].collect().sortBy(e => (mic(e.ts), e.event_id))
+    val mem = MemoryStream[UserEvent]
+    val q = graft.streaming.StreamingFunnel.funnel(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    val (a, b) = evs.splitAt(evs.length / 2)
+    mem.addData(a.toIndexedSeq); q.processAllAvailable()
+    mem.addData(b.toIndexedSeq); q.processAllAvailable(); q.stop()
+    val stream = spark.table("funnel_out")
+      .groupBy("step").agg(countDistinct("user_id").as("users"))
+      .collect().map(r => r.getAs[Int]("step") -> r.getAs[Long]("users")).toMap
+    val batch = QueryRegistry.byName("q97_funnel_view_click_purchase")
+      .fn(spark, sf)
+      .collect().map(r => r.getAs[Long]("step").toInt -> r.getAs[Long]("users"))
+      .toMap
+    assert((1 to 3).forall(s => stream.getOrElse(s, 0L) == batch(s)),
+      s"stream=$stream batch=$batch")
+    // a step-2 hit implies the same user has a step-1 hit (state machine
+    // can't skip)
+    val byUser = spark.table("funnel_out").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(_.getAs[Int]("step")).toSet)
+    assert(byUser.values.forall(s => !s.contains(2) || s.contains(1)))
+    assert(byUser.values.forall(s => !s.contains(3) || s.contains(2)))
+  }
 }
