@@ -409,6 +409,22 @@ class QueriesSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("approx_percentile (GK sketch) within its accuracy bound of exact") {
+    // the mergeable-sketch percentile path for 100 TB (exact percentile
+    // needs a global sort); accuracy parameter 100 → rank error <= 1%
+    val o = Tables.t(spark, sf, "orders")
+    val r = o.agg(
+      expr("percentile(o_totalprice, 0.5)").as("exact"),
+      expr("approx_percentile(o_totalprice, 0.5, 100)").as("approx"),
+      count(lit(1)).as("n")).head()
+    val exact = r.getDouble(0); val approx = r.getDouble(1)
+    val n = r.getLong(2)
+    // rank of the approx answer must be within 1% of the true median rank
+    val rankApprox = o.filter(col("o_totalprice") <= approx).count().toDouble / n
+    assert(math.abs(rankApprox - 0.5) <= 0.011,
+      s"exact=$exact approx=$approx rank=$rankApprox")
+  }
+
   test("oracleSql covers every query except the declared rows-only ones") {
     val rowsOnly = QueryRegistry.queries.filter(_.oracle.isEmpty).map(_.name)
     assert(rowsOnly.toSet ==

@@ -97,4 +97,31 @@ class SourcesSpec extends SparkSpec {
       org.apache.spark.sql.execution.FormattedMode)
     assert(f.contains("PushedFilters") && f.contains("LessThan(doc_id"), f)
   }
+
+  test("malformed JSON records are quarantined, not fatal (PERMISSIVE mode)") {
+    // at 100 TB some input WILL be corrupt; the pipeline contract is
+    // quarantine-and-continue, never job failure or silent drop
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "in.jsonl"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2 "v": "missing comma"}
+        |{"id": 3, "v": "ok too"}
+        |not json at all
+        |""".stripMargin)
+    val schema = "id LONG, v STRING, _corrupt_record STRING"
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache() // corrupt-record column requires a materialized scan
+    try {
+      val good = df.filter(col("_corrupt_record").isNull)
+      val bad = df.filter(col("_corrupt_record").isNotNull)
+      assert(good.count() == 2 && bad.count() == 2)
+      assert(good.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+      // the quarantined rows carry the raw text for replay/debugging
+      assert(bad.select("_corrupt_record").collect()
+        .forall(r => r.getString(0).nonEmpty))
+    } finally df.unpersist()
+  }
 }
