@@ -155,6 +155,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
 
+  test("hot paths stay inside WholeStageCodegen (incl. the custom cosine expr)") {
+    // the custom CosineSimilarity expression implements doGenCode — the
+    // scoring scan must fuse into a codegen span, not fall back to
+    // interpreted eval rows. Codegen spans only appear in the FINAL
+    // adaptive plan, so execute the Dataset first (same caveat as the
+    // AQE skew test: inspect the executed Dataset, not a sibling).
+    // WholeStageCodegenExec prints as a "*(id)" prefix on every operator
+    // it fuses; AQE query-stage wrappers hide the exec nodes from
+    // TreeNode.collect, so the marker string is the reliable signal
+    for (name <- Seq("q01_pricing_summary", "q20_vector_topk", "q31_token_stats")) {
+      val df = QueryRegistry.byName(name).fn(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"$name has no codegen span:\n$p")
+    }
+  }
+
   test("q82: sampling is a pure map — broadcast rates, only the output sort shuffles") {
     val p = planOf("q82_stratified_split")
     assert(p.contains("BroadcastHashJoin"), p)
