@@ -88,12 +88,36 @@ private class SyntheticTable(options: CaseInsensitiveStringMap)
 private class SyntheticScanBuilder(rows: Long, dim: Int, seed: Long,
                                    numPartitions: Int)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = SyntheticEmbeddings.schema
   private var lo = 0L          // inclusive vec_id lower bound
   private var hi = rows        // exclusive vec_id upper bound
   private var pushed = Array.empty[Filter]
+  private var countStar = false
+
+  /** LIMIT n over a pure id range is exact: clip the range. Declaring the
+    * push complete (isPartiallyPushed=false) lets Spark drop the limit
+    * operator entirely. */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit); true
+  }
+  override def isPartiallyPushed: Boolean = false
+
+  /** COUNT(*) with no grouping is metadata: the range length. The scan
+    * flips to a one-row aggregate answer — zero rows generated, the
+    * stats-based-answer pattern a 100 TB scan must exploit. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (supportCompletePushDown(agg)) { countStar = true; true } else false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -124,8 +148,36 @@ private class SyntheticScanBuilder(rows: Long, dim: Int, seed: Long,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new SyntheticScan(required, math.max(lo, 0L), math.max(hi, lo), dim,
-      seed, numPartitions, pushed)
+    if (countStar)
+      new CountStarScan(math.max(0L, math.max(hi, lo) - math.max(lo, 0L)))
+    else
+      new SyntheticScan(required, math.max(lo, 0L), math.max(hi, lo), dim,
+        seed, numPartitions, pushed)
+}
+
+/** The completely-pushed COUNT(*): one partition, one row, no data. */
+private class CountStarScan(count: Long) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"SyntheticEmbeddings agg=count_star($count)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SyntheticPartition(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CountStarReaderFactory(count)
+}
+
+/** Scala SAM lambdas are not Serializable — reader factories ship to
+  * executors, so this must be a concrete class. */
+private class CountStarReaderFactory(count: Long)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow(count)
+      override def close(): Unit = ()
+    }
 }
 
 private class SyntheticScan(required: StructType, lo: Long, hi: Long,

@@ -54,6 +54,26 @@ class DataSourceV2Spec extends SparkSpec {
     assert(df.head().getLong(0) == 123456L)
   }
 
+  test("LIMIT pushdown clips the generated range (limit operator dropped)") {
+    val df = read("rows" -> "1000000000", "dim" -> "8").limit(5)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(df.queryExecution.executedPlan.toString.contains("range=[0,5)"),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("COUNT(*) is answered from metadata — zero rows generated") {
+    // 1e9 rows x 64 floats would take hours if actually generated; the
+    // pushed count must return the range length immediately
+    val df = read("rows" -> "1000000000", "dim" -> "64")
+    val t0 = System.nanoTime()
+    assert(df.count() == 1000000000L)
+    assert((System.nanoTime() - t0) / 1e9 < 30, "count generated data")
+    // and it composes with filter pushdown: count of a pushed range
+    assert(df.filter(col("vec_id") < 12345L).count() == 12345L)
+  }
+
   test("the synthetic corpus drives the ANN ladder end to end") {
     // the source exists to test vector operators without files: feed it
     // through the persistent store's signature path and check shape
