@@ -24,7 +24,8 @@ object QueryRegistry {
       operators.SqlSurface.all ++
       operators.SearchService.all ++
       operators.EditDistanceJoin.all ++
-      operators.CurationOps.all
+      operators.CurationOps.all ++
+      operators.AssemblyOps.all
 
   lazy val byName: Map[String, GraftQuery] =
     queries.map(q => q.name -> q).toMap

@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set ASSEMBLY operators — the stage after curation
+  * (CurationOps) where cleaned documents become model-ready input:
+  * concat-and-chop sequence packing, RAG chunking with overlap,
+  * exact-k per-stratum subsampling, Gopher-style repetition filtering,
+  * and domain-mixture weighting. Every metric is integer-derived (counts,
+  * lengths, md5 buckets) so each op is hash-checked against the DuckDB
+  * oracle end to end. All are narrow scans or single-shuffle windows —
+  * the shapes that survive 100 TB.
+  */
+object AssemblyOps {
+
+  /** Context-window budget (tokens) for q99 and chunk geometry for q100. */
+  val WindowTokens = 512
+  val ChunkChars = 120
+  val ChunkStride = 90 // 30-char overlap between adjacent chunks
+
+  /** q99 — GPT-style sequence packing (concat-and-chop): documents are
+    * concatenated in stable doc_id order per source stream and chopped
+    * into fixed WindowTokens windows; a document's window is determined
+    * by the running token count BEFORE it (sum over an ordered window
+    * frame). This is the standard pre-training batch-assembly op; the
+    * contiguous-fill form is exactly what streaming tokenizers do. Scale
+    * shape: ONE shuffle (partition by source, order by doc_id) and a
+    * partial-aggregated groupBy on the same key — no driver state, no
+    * skew (windows are balanced by construction). Emits per-window
+    * occupancy stats, all integers. */
+  private val q99 = GraftQuery(
+    "q99_sequence_packing",
+    (s, d) => {
+      val ntok = size(split(col("text"), " ")).cast("long")
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), ntok.as("ntok"))
+        .withColumn("cum_prev", coalesce(sum(col("ntok")).over(w), lit(0L)))
+        .withColumn("window_id",
+          floor(col("cum_prev") / lit(WindowTokens)).cast("long"))
+        .groupBy(col("source"), col("window_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("window_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("window_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        FROM documents),
+      c AS (SELECT doc_id, source, ntok,
+          coalesce(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+        FROM t)
+      SELECT source, CAST(cum_prev // $WindowTokens AS BIGINT) AS window_id,
+        count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS window_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY source, window_id
+      ORDER BY source, window_id"""))
+
+  /** q100 — RAG-style document chunking with overlap: fixed ChunkChars
+    * character chunks every ChunkStride characters (30-char overlap so no
+    * boundary-straddling phrase is lost — the standard retrieval-index
+    * prep). Pure per-row map: `sequence` + `posexplode` + `substring`,
+    * no shuffle at all; at 100 TB this runs at scan speed and the output
+    * is written partition-parallel. Chunk count and offsets are integer
+    * arithmetic; the chunk text itself is hash-checked. */
+  private val q100 = GraftQuery(
+    "q100_chunk_overlap",
+    (s, d) => {
+      val len = length(col("text"))
+      // ceil((len - C) / S) as integer math, clamped at 0 extra chunks
+      val extra = floor((greatest(len - lit(ChunkChars), lit(0))
+        + lit(ChunkStride - 1)) / lit(ChunkStride)).cast("int")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"), extra.as("extra"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("extra"))).as("k"), col("text"))
+        .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
+          (col("k") * ChunkStride + 1).cast("long").as("start"),
+          col("text").substr(col("k") * ChunkStride + 1, lit(ChunkChars))
+            .as("chunk"))
+        .withColumn("chunk_len", length(col("chunk")).cast("long"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, text,
+          (greatest(length(text) - $ChunkChars, 0) + ${ChunkStride - 1})
+            // $ChunkStride AS extra
+        FROM documents)
+      SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        CAST(k * $ChunkStride + 1 AS BIGINT) AS start,
+        substr(text, k * $ChunkStride + 1, $ChunkChars) AS chunk,
+        CAST(length(substr(text, k * $ChunkStride + 1, $ChunkChars)) AS BIGINT)
+          AS chunk_len
+      FROM t, unnest(range(0, extra + 1)) AS u(k)
+      ORDER BY doc_id, chunk_id"""))
+
+  /** q102 — exact-k per-stratum subsample: within each language stratum,
+    * rank documents by an md5-derived pseudo-random order and keep the
+    * first K. Complements q82's rate-based sampling with the exact-count
+    * form (eval-set construction wants "exactly 50 per language", not
+    * "5% of whatever arrives"). Hash-ordering makes it reproducible
+    * across runs, engines, and stage retries — rand() is none of those.
+    * Scale shape: one shuffle (the per-stratum window); the rank order
+    * is data-independent so no skew beyond stratum sizes. */
+  private val q102 = GraftQuery(
+    "q102_topk_per_stratum_sample",
+    (s, d) => {
+      val k = 50
+      val rk = md5(concat(col("doc_id").cast("string"), lit(":rank")))
+      val w = Window.partitionBy(col("lang")).orderBy(rk)
+      t(s, d, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some("""SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+        SELECT lang, doc_id, row_number() OVER (
+          PARTITION BY lang ORDER BY md5(doc_id::VARCHAR || ':rank')) AS rk
+        FROM documents)
+      WHERE rk <= 50 ORDER BY lang, rk"""))
+
+  /** q103 — Gopher-style repetition filter (the rule family the C4/Gopher
+    * cleaning stage applies AFTER q84's length/vocabulary rules):
+    * duplicate 3-gram fraction and most-frequent-bigram fraction per
+    * document, with the published-threshold verdict. All ratios are
+    * int/int divisions → bit-exact across engines. Narrow per-row pass,
+    * no shuffle: at 100 TB this is scan-bound, exactly like q84. */
+  private val q103 = GraftQuery(
+    "q103_repetition_filter",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val bigrams = transform(sequence(lit(1), nTok - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      val trigrams = transform(sequence(lit(1), nTok - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2)))
+      val dup3 = lit(1.0) -
+        size(array_distinct(trigrams)).cast("double") / (nTok - 2)
+      val top2 = array_max(transform(array_distinct(bigrams),
+        b => size(filter(bigrams, x => x === b)))).cast("double") / (nTok - 1)
+      t(s, d, "documents")
+        .filter(nTok >= 3)
+        .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+          round(dup3, 6).as("dup_3gram_frac"),
+          round(top2, 6).as("top_2gram_frac"),
+          (dup3 > 0.6 || top2 > 0.2).as("flagged"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
+            / (len(toks) - 2) AS dup3,
+          CAST(list_max(list_transform(
+              list_distinct(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])),
+              b -> len(list_filter(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1]), x -> x = b)))) AS DOUBLE)
+            / (len(toks) - 1) AS top2
+        FROM t)
+      SELECT doc_id, n_tokens, round(dup3, 6) AS dup_3gram_frac,
+        round(top2, 6) AS top_2gram_frac,
+        (dup3 > 0.6 OR top2 > 0.2) AS flagged
+      FROM m ORDER BY doc_id"""))
+
+  /** q104 — domain-mixture weighting: given measured per-source token
+    * counts and target mixture shares (the config a pre-training run
+    * declares), compute each source's corpus share and the sampling rate
+    * that hits the target under a fixed token budget. The rate is ONE
+    * division of exact integer products (target·budget vs 1000·actual)
+    * so the doubles are bit-identical across engines. Scale shape: one
+    * partial-aggregated groupBy over the scan + a broadcast of the
+    * 5-row targets table and the 1-row total. */
+  private val q104 = GraftQuery(
+    "q104_mixture_weights",
+    (s, d) => {
+      val targets = Seq(("src0", 400), ("src1", 250), ("src2", 200),
+        ("src3", 100), ("src4", 50))
+      val tDf = s.createDataFrame(targets).toDF("source", "target_permille")
+      val ntok = size(split(col("text"), " ")).cast("long")
+      val per = t(s, d, "documents")
+        .select(col("source"), ntok.as("ntok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      val total = per.agg(sum(col("n_tokens")).as("total_tokens"))
+      per.join(broadcast(tDf), Seq("source"))
+        .crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("total_tokens"), 6)
+            .as("share"),
+          round(least(lit(1.0),
+            (col("target_permille") * col("total_tokens")).cast("double") /
+              (lit(1000L) * col("n_tokens"))), 6).as("sample_rate"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH targets(source, target_permille) AS (
+        VALUES ('src0', 400), ('src1', 250), ('src2', 200),
+               ('src3', 100), ('src4', 50)),
+      per AS (SELECT source, count(*) AS n_docs,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per)
+      SELECT source, n_docs, n_tokens,
+        round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS share,
+        round(least(1.0, CAST(target_permille * total_tokens AS DOUBLE) /
+          (1000 * n_tokens)), 6) AS sample_rate
+      FROM per JOIN targets USING (source), tot
+      ORDER BY source"""))
+
+  val all: Seq[GraftQuery] = Seq(q99, q100, q102, q103, q104)
+}

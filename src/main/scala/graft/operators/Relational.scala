@@ -636,7 +636,42 @@ object Relational {
       FROM orders, mm
       GROUP BY 1 ORDER BY bucket"""))
 
+  /** PIVOT (wide crosstab): revenue by status × order-year, the inverse
+    * of q92's unpivot. Compiled to conditional aggregates (one
+    * `sum(when(year = v))` per listed value) rather than
+    * `Dataset.pivot`: the built-in pivot plans TWO aggregations — a
+    * (status, year) pre-agg shuffle, then a pivotfirst shuffle on
+    * status — while the conditional form is ONE partial+final
+    * aggregation over the scan, the same plan DuckDB compiles PIVOT to.
+    * The explicit value list is part of the operator contract (an
+    * unlisted-values pivot needs a distinct-scan first by definition).
+    * Sums ride DECIMAL for bit-exact cross-engine totals; absent cells
+    * coalesce to 0. */
+  private val q101 = GraftQuery(
+    "q101_pivot_revenue_matrix",
+    (s, d) => {
+      val yrs = 1995 to 2001
+      val y = year(col("o_orderdate"))
+      val cells = yrs.map { v =>
+        coalesce(sum(when(y === v, dec(col("o_totalprice")))).cast("double"),
+          lit(0.0)).as(s"y$v")
+      }
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(cells.head, cells.tail: _*)
+        .orderBy(col("o_orderstatus"))
+    },
+    Some {
+      val cells = (1995 to 2001).map(y =>
+        s"""coalesce(CAST(sum(CASE WHEN year(o_orderdate) = $y
+           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+           AS y$y""").mkString(",\n        ")
+      s"""SELECT o_orderstatus,
+        $cells
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+    })
+
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q27, q51, q52, q55,
-    q58, q59, q67, q88, q89, q92, q96)
+    q58, q59, q67, q88, q89, q92, q96, q101)
 }

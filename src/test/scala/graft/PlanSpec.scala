@@ -183,4 +183,42 @@ class PlanSpec extends SparkSpec {
       .forall(l => l.contains("rangepartitioning") || l.contains("SinglePartition"))
     assert(rangeOnly, s"unexpected data shuffle in sampling plan:\n$p")
   }
+
+  test("q99: packing reuses ONE source-clustered shuffle for window + groupBy") {
+    // hashpartitioning(source) satisfies the groupBy(source, window_id)
+    // clustering requirement, so the window's exchange must be the only
+    // data shuffle (plus the deterministic output range sort)
+    val p = planOf("q99_sequence_packing")
+    val dataEx = p.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("BroadcastExchange"))
+      .filterNot(l => l.contains("rangepartitioning") || l.contains("SinglePartition"))
+      .toSeq
+    assert(dataEx.size <= 1, s"packing shuffles more than once:\n$p")
+  }
+
+  test("q100/q103: chunking and repetition filter are narrow scans") {
+    for (n <- Seq("q100_chunk_overlap", "q103_repetition_filter")) {
+      val p = planOf(n)
+      val ok = p.linesIterator.filter(_.contains("Exchange"))
+        .filterNot(_.contains("BroadcastExchange"))
+        .forall(l => l.contains("rangepartitioning") || l.contains("SinglePartition"))
+      assert(ok, s"$n shuffles data:\n$p")
+    }
+  }
+
+  test("q104: targets and total join as broadcasts; no sort-merge join") {
+    val p = planOf("q104_mixture_weights")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"broadcast-sized side fell back to SMJ:\n$p")
+  }
+
+  test("q101: pivot stays one partial+final aggregation, no join, no expand blowup") {
+    val p = planOf("q101_pivot_revenue_matrix")
+    assert(!p.contains("Join"), s"pivot introduced a join:\n$p")
+    val dataEx = p.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("BroadcastExchange"))
+      .filterNot(l => l.contains("rangepartitioning") || l.contains("SinglePartition"))
+      .toSeq
+    assert(dataEx.size <= 1, s"pivot shuffles more than once:\n$p")
+  }
 }

@@ -483,4 +483,87 @@ class QueriesSpec extends SparkSpec {
     val maxNorm = norms.map(v => math.sqrt(v.toArray.map(x => x * x).sum)).max
     assert(maxNorm < 100.0, s"unbounded embedding norm $maxNorm")
   }
+
+  test("q99 packing: windows partition all tokens; ids contiguous per source") {
+    val rows = QueryRegistry.byName("q99_sequence_packing").fn(spark, sf).collect()
+    val total = Tables.t(spark, sf, "documents")
+      .select(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("window_tokens")).sum == total,
+      "packed windows lose or duplicate tokens")
+    // contiguous 0..n window ids per source (every doc is far below the
+    // 512-token budget, so the running sum can never skip a window)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val ids = rs.map(_.getAs[Long]("window_id")).sorted
+      assert(ids.zipWithIndex.forall { case (w, i) => w == i },
+        s"$src windows not contiguous: ${ids.mkString(",")}")
+    }
+  }
+
+  test("q100 chunking: stitching chunks (minus overlap) reconstructs the text") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = QueryRegistry.byName("q100_chunk_overlap").fn(spark, sf)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet)
+    val overlap = AssemblyOpsTestAccess.chunkChars - AssemblyOpsTestAccess.chunkStride
+    byDoc.foreach { case (id, rs) =>
+      val chunks = rs.sortBy(_.getAs[Long]("chunk_id")).map(_.getAs[String]("chunk"))
+      val stitched = chunks.head +
+        chunks.tail.map(c => c.substring(math.min(overlap, c.length))).mkString
+      assert(stitched == docs(id), s"doc $id does not reconstruct")
+    }
+  }
+
+  test("q102 sampling: exact k per stratum (clamped) and rerun-deterministic") {
+    val q = QueryRegistry.byName("q102_topk_per_stratum_sample")
+    val a = q.fn(spark, sf).collect()
+    val sizes = Tables.t(spark, sf, "documents").groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      assert(rs.length == math.min(50L, sizes(lang)), s"$lang wrong sample size")
+    }
+    val b = q.fn(spark, sf).collect()
+    assert(a.map(_.getAs[Long]("doc_id")).sorted.sameElements(
+      b.map(_.getAs[Long]("doc_id")).sorted), "sample not deterministic")
+  }
+
+  test("q103 repetition metrics are valid fractions") {
+    val rows = QueryRegistry.byName("q103_repetition_filter").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d3 = r.getAs[Double]("dup_3gram_frac")
+      val t2 = r.getAs[Double]("top_2gram_frac")
+      assert(d3 >= 0.0 && d3 <= 1.0 && t2 > 0.0 && t2 <= 1.0, r.toString)
+      assert(r.getAs[Long]("n_tokens") >= 3)
+    }
+  }
+
+  test("q104 mixture weights: rates in (0,1], shares consistent with totals") {
+    val rows = QueryRegistry.byName("q104_mixture_weights").fn(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("sample_rate")
+      val share = r.getAs[Double]("share")
+      assert(rate > 0.0 && rate <= 1.0, r.toString)
+      assert(share > 0.0 && share < 1.0, r.toString)
+    }
+  }
+
+  test("q101 pivot: cell matrix sums to the direct revenue total") {
+    val rows = QueryRegistry.byName("q101_pivot_revenue_matrix").fn(spark, sf)
+    val cells = rows.collect().map { r =>
+      (1 to 7).map(i => r.getDouble(i)).sum
+    }.sum
+    val direct = Tables.t(spark, sf, "orders")
+      .agg(Tables.dsum(col("o_totalprice"))).head().getDouble(0)
+    assert(math.abs(cells - direct) < 1e-4, s"pivot $cells vs direct $direct")
+  }
+}
+
+/** Exposes AssemblyOps geometry constants to tests without widening the
+  * production API. */
+object AssemblyOpsTestAccess {
+  val chunkChars: Int = operators.AssemblyOps.ChunkChars
+  val chunkStride: Int = operators.AssemblyOps.ChunkStride
 }
