@@ -348,5 +348,67 @@ object VectorSearch {
       SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank, vec_id, label
       FROM s ORDER BY score DESC, vec_id LIMIT 10"""))
 
-  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q80)
+  /** q105 — int8 embedding compression + integer ADC scoring (the
+    * scalar-quantization rung of the ANN ladder, below IVF/LSH): corpus
+    * statistics (per-dimension absmax) are ONE tiny aggregation — the
+    * 64-float explode partial-aggregates map-side onto 64 keys, so the
+    * shuffle is bytes regardless of corpus size — broadcast back; encode
+    * is a narrow map producing int8-range codes (4× memory cut vs
+    * float32, the standard serving-index compression); scoring is an
+    * exact INTEGER dot product over codes (SIMD-shaped, no floats), and
+    * top-k is TakeOrderedAndProject. Because the whole path is
+    * fixed-point (1e-6 grid) → integer arithmetic, scores are bit-exact
+    * across engines and the query is fully hash-checked — unlike the
+    * MLlib rungs (q61/q65) which are recall-pinned only.
+    * Parity note: the ONE float op (round(127·e/am)) consumes identical
+    * int64 inputs in both engines → identical IEEE doubles → identical
+    * rounding (same argument as q96's bucket function). */
+  private val q105 = GraftQuery(
+    "q105_int8_quant_ann",
+    (s, d) => {
+      val ev = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("ev"))
+      val dims = ev.select(posexplode(col("ev")).as(Seq("pos", "e")))
+        .groupBy(col("pos"))
+        .agg(greatest(max(abs(col("e"))), lit(1L)).as("am"))
+      val amsRow = dims
+        .agg(array_sort(collect_list(struct(col("pos"), col("am")))).as("pa"))
+        .select(transform(col("pa"), p => p.getField("am")).as("ams"))
+      val quant = ev.crossJoin(broadcast(amsRow))
+        .withColumn("q", transform(col("ev"), (e, i) =>
+          round(lit(127.0) * e / element_at(col("ams"), i + 1)).cast("long")))
+        .select(col("vec_id"), col("label"), col("q"))
+      val qq = quant.filter(col("vec_id") === 0)
+        .select(col("q").as("qq"))
+      val scored = quant.crossJoin(broadcast(qq))
+        .withColumn("qscore",
+          aggregate(zip_with(col("q"), col("qq"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
+      val top = scored.orderBy(col("qscore").desc, col("vec_id")).limit(20)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("qscore").desc, col("vec_id"))).cast("long"))
+        .select(col("rank"), col("vec_id"), col("label"), col("qscore"))
+    },
+    Some("""WITH ev AS (SELECT vec_id, label,
+        list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ev
+      FROM embeddings),
+      dims AS (SELECT i AS pos, greatest(max(abs(ev[i])), 1) AS am
+        FROM ev, unnest(range(1, len(ev) + 1)) AS t(i) GROUP BY i),
+      ams AS (SELECT list(am ORDER BY pos) AS ams FROM dims),
+      qv AS (SELECT vec_id, label,
+        list_transform(range(1, len(ev) + 1),
+          i -> CAST(round(127.0 * ev[i] / ams[i]) AS BIGINT)) AS q
+      FROM ev, ams),
+      qq AS (SELECT q AS qq FROM qv WHERE vec_id = 0),
+      s AS (SELECT vec_id, label,
+        CAST(list_sum(list_transform(range(1, len(q) + 1),
+          i -> q[i] * qq[i])) AS BIGINT) AS qscore
+      FROM qv, qq)
+      SELECT row_number() OVER (ORDER BY qscore DESC, vec_id) AS rank,
+        vec_id, label, qscore
+      FROM s ORDER BY qscore DESC, vec_id LIMIT 20"""))
+
+  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q80, q105)
 }

@@ -212,6 +212,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"broadcast-sized side fell back to SMJ:\n$p")
   }
 
+  test("q105: absmax stats and query codes broadcast; top-k has no global sort") {
+    val p = planOf("q105_int8_quant_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"int8 ADC top-k sorts globally:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"broadcast side fell back to SMJ:\n$p")
+  }
+
   test("q101: pivot stays one partial+final aggregation, no join, no expand blowup") {
     val p = planOf("q101_pivot_revenue_matrix")
     assert(!p.contains("Join"), s"pivot introduced a join:\n$p")

@@ -550,6 +550,18 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q105 int8 ADC: high recall vs exact cosine top-20 and self-match first") {
+    val exact = QueryRegistry.byName("q20_vector_topk").fn(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val quant = QueryRegistry.byName("q105_int8_quant_ann").fn(spark, sf)
+      .orderBy("rank").collect()
+    // int8 is a faithful quantization, not a sketch: expect >=70% of the
+    // exact top-20 to survive, and the query vector to beat everything
+    assert(quant.head.getAs[Long]("vec_id") == 0L, "self-match not rank 1")
+    val recall = quant.map(_.getAs[Long]("vec_id")).count(exact.contains)
+    assert(recall >= 14, s"int8 recall $recall/20 vs exact top-20")
+  }
+
   test("q101 pivot: cell matrix sums to the direct revenue total") {
     val rows = QueryRegistry.byName("q101_pivot_revenue_matrix").fn(spark, sf)
     val cells = rows.collect().map { r =>
