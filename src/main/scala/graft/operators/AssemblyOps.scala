@@ -215,5 +215,125 @@ object AssemblyOps {
       FROM per JOIN targets USING (source), tot
       ORDER BY source"""))
 
-  val all: Seq[GraftQuery] = Seq(q99, q100, q102, q103, q104)
+  /** q106 — the END-TO-END curation pipeline as ONE declarative program:
+    * quality rules (q84) → repetition rules (q103) → exact dedup (q30's
+    * keep-min-id form) → benchmark decontamination (q85's eval-shingle
+    * anti-join) → train/val/test split (q82's md5 buckets) → sequence
+    * packing (q99), emitting each surviving document's split and context
+    * window. This is the composability proof: every stage is the same
+    * Column/DataFrame algebra the individual operators use, fused by
+    * Catalyst into narrow maps (quality/repetition/split) + one dedup
+    * shuffle + one broadcast anti-join (eval shingles are small by
+    * construction) + one packing window — a 100 TB corpus makes exactly
+    * three exchanges end to end. The DuckDB twin recomputes the whole
+    * chain, so the composed result (not just each stage) is
+    * hash-checked. */
+  private val q106 = GraftQuery(
+    "q106_curation_pipeline_e2e",
+    (s, d) => {
+      import graft.functions.HashFunctions.shingles
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      // q84 quality metrics
+      val uniq = size(array_distinct(toks)).cast("double") / nTok
+      val meanW = (length(col("text")) - nTok + 1).cast("double") / nTok
+      val topF = array_max(transform(array_distinct(toks),
+        w => size(filter(toks, x => x === w)))).cast("double") / nTok
+      // q103 repetition metrics
+      val bigrams = transform(sequence(lit(1), nTok - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      val trigrams = transform(sequence(lit(1), nTok - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2)))
+      val dup3 = lit(1.0) -
+        size(array_distinct(trigrams)).cast("double") / (nTok - 2)
+      val top2 = array_max(transform(array_distinct(bigrams),
+        b => size(filter(bigrams, x => x === b)))).cast("double") / (nTok - 1)
+
+      val base = t(s, d, "documents").filter(nTok >= 3)
+      val clean = base
+        .filter(nTok >= 20 && uniq >= 0.5 && topF <= 0.2 &&
+          meanW.between(3, 6) && dup3 <= 0.6 && top2 <= 0.2)
+      // exact dedup: first doc_id per content fingerprint survives
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val ded = clean.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      // decontamination vs the eval slice's shingle set (from ALL docs —
+      // the benchmark is external to the cleaning pipeline)
+      val evalSh = base.filter(col("doc_id") % 97 === 0)
+        .select(explode(shingles(toks)).as("sg")).distinct()
+      val contam = ded.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(shingles(toks)).as("sg"))
+        .join(broadcast(evalSh), Seq("sg"))
+        .select(col("doc_id")).distinct()
+      val kept = ded.filter(col("doc_id") % 97 =!= 0)
+        .join(contam, Seq("doc_id"), "left_anti")
+      // q82 split buckets (no sampling stage here: rates belong to q82)
+      val bucket = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":split"))), 1, 8), 16, 10).cast("long") % 10
+      val spl = kept.select(col("doc_id"), col("source"), col("lang"),
+        nTok.cast("long").as("n_tokens"),
+        when(bucket <= 7, lit("train")).when(bucket === 8, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      // q99 packing per (split, source) stream
+      val pw = Window.partitionBy(col("split"), col("source"))
+        .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+      spl.withColumn("window_id",
+          floor(coalesce(sum(col("n_tokens")).over(pw), lit(0L)) /
+            lit(WindowTokens)).cast("long"))
+        .select(col("doc_id"), col("source"), col("lang"), col("split"),
+          col("window_id"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.functions.HashFunctions.shinglesSql
+      s"""WITH base AS (SELECT doc_id, source, lang, text,
+            string_split(text, ' ') AS toks
+          FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        m AS (SELECT *, len(toks) AS ntok,
+            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq,
+            CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS meanw,
+            CAST(list_max(list_transform(list_distinct(toks),
+              w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+              / len(toks) AS topf,
+            1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
+              / (len(toks) - 2) AS dup3,
+            CAST(list_max(list_transform(
+              list_distinct(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])),
+              b -> len(list_filter(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1]), x -> x = b)))) AS DOUBLE)
+              / (len(toks) - 1) AS top2
+          FROM base),
+        clean AS (SELECT * FROM m
+          WHERE ntok >= 20 AND uniq >= 0.5 AND topf <= 0.2
+            AND meanw BETWEEN 3 AND 6 AND dup3 <= 0.6 AND top2 <= 0.2),
+        ded AS (SELECT * FROM (SELECT *, row_number() OVER (
+            PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM clean)
+          WHERE rn = 1),
+        evs AS (SELECT DISTINCT sg FROM (
+          SELECT unnest(${shinglesSql("toks")}) AS sg
+          FROM base WHERE doc_id % 97 = 0)),
+        contam AS (SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest(${shinglesSql("toks")}) AS sg
+            FROM ded WHERE doc_id % 97 <> 0) sh
+          JOIN evs USING (sg)),
+        kept AS (SELECT * FROM ded WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        spl AS (SELECT doc_id, source, lang, CAST(ntok AS BIGINT) AS n_tokens,
+            CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT % 10 <= 7
+                 THEN 'train'
+                 WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT % 10 = 8
+                 THEN 'val' ELSE 'test' END AS split
+          FROM kept)
+        SELECT doc_id, source, lang, split,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split, source
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) // $WindowTokens AS BIGINT) AS window_id,
+          n_tokens
+        FROM spl ORDER BY doc_id"""
+    })
+
+  val all: Seq[GraftQuery] = Seq(q99, q100, q102, q103, q104, q106)
 }

@@ -671,7 +671,57 @@ object Relational {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
     })
 
+  /** Statistical aggregates — per-group Pearson correlation and sample
+    * covariance of quantity vs discount, built from the five exact
+    * integer sums (n, Σx, Σy, Σxy, Σx², Σy²) rather than the engines'
+    * native corr()/covar_samp() (whose accumulation order differs across
+    * engines and partitionings, breaking hash parity AND run-to-run
+    * determinism at cluster scale). Discount is scaled to integer
+    * percent first (2dp data), so every sum is a BIGINT with headroom
+    * for ~1e12 rows; the closed-form corr/cov are then one fixed IEEE
+    * op sequence over identical integers — bit-exact everywhere. One
+    * partial+final aggregation over the scan. */
+  private val q107 = GraftQuery(
+    "q107_corr_qty_discount",
+    (s, d) => {
+      val x = col("l_quantity").cast("long")
+      val y = round(col("l_discount") * 100).cast("long")
+      val stats = t(s, d, "lineitem")
+        .select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val n = col("n").cast("double")
+      val cov = (col("sxy") - col("sx") * col("sy") / n) / (col("n") - 1)
+      val corr = (n * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+          sqrt(n * col("syy") - col("sy") * col("sy")))
+      stats.select(col("l_returnflag"), col("n"),
+          round(corr, 6).as("corr_qty_disc"),
+          round(cov, 6).as("cov_qty_disc"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH s AS (SELECT l_returnflag, count(*) AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * y) AS BIGINT) AS sxy,
+        CAST(sum(x * x) AS BIGINT) AS sxx,
+        CAST(sum(y * y) AS BIGINT) AS syy
+      FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+              CAST(round(l_discount * 100) AS BIGINT) AS y FROM lineitem)
+      GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+          (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+           sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+          AS corr_qty_disc,
+        round((sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1), 6)
+          AS cov_qty_disc
+      FROM s ORDER BY l_returnflag"""))
+
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q27, q51, q52, q55,
-    q58, q59, q67, q88, q89, q92, q96, q101)
+    q58, q59, q67, q88, q89, q92, q96, q101, q107)
 }

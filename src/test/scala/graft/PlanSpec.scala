@@ -219,6 +219,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"broadcast side fell back to SMJ:\n$p")
   }
 
+  test("q106: e2e pipeline joins broadcast (eval shingles + contam ids); no SMJ") {
+    val p = planOf("q106_curation_pipeline_e2e")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"small side fell back to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q101: pivot stays one partial+final aggregation, no join, no expand blowup") {
     val p = planOf("q101_pivot_revenue_matrix")
     assert(!p.contains("Join"), s"pivot introduced a join:\n$p")

@@ -562,6 +562,36 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 14, s"int8 recall $recall/20 vs exact top-20")
   }
 
+  test("q106 e2e pipeline: eval slice excluded, splits valid, texts unique") {
+    val rows = QueryRegistry.byName("q106_curation_pipeline_e2e").fn(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_id") % 97 != 0), "eval doc leaked")
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")), splits.toString)
+    // survivors must be a subset of the standalone quality+repetition gates
+    val q84pass = QueryRegistry.byName("q84_quality_filter").fn(spark, sf)
+      .filter(col("passes")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val q103clean = QueryRegistry.byName("q103_repetition_filter").fn(spark, sf)
+      .filter(!col("flagged")).select("doc_id").collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(q84pass.contains(id) && q103clean.contains(id),
+        s"doc $id survived e2e but fails a standalone gate")
+    }
+  }
+
+  test("q107 correlation: values in [-1,1], group counts cover the table") {
+    val rows = QueryRegistry.byName("q107_corr_qty_discount").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.t(spark, sf, "lineitem").count())
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr_qty_disc")
+      assert(c >= -1.0 && c <= 1.0, r.toString)
+    }
+  }
+
   test("q101 pivot: cell matrix sums to the direct revenue total") {
     val rows = QueryRegistry.byName("q101_pivot_revenue_matrix").fn(spark, sf)
     val cells = rows.collect().map { r =>
