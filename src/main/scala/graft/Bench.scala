@@ -20,8 +20,16 @@ object Bench {
     // added, which made per-query timings incomparable across rounds (the
     // first timed query absorbs cold-IO/JIT residue).
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Force FULL result materialization: a plain .count() lets Catalyst
+    // prune projections and eliminate sorts (a projection-heavy query
+    // times as a bare scan — q103's metrics were invisible), while
+    // toRdd.count() executes the query's own physical plan and produces
+    // every output row, matching what the DuckDB baseline's fetchall()
+    // pays. Rows stay on executors — no driver collect.
+    def exec(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     ordered.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
     // Warm the TARGET-sf page cache with one cheap scan per table, so the
     // first timed queries measure execution rather than cold file IO
@@ -43,7 +51,7 @@ object Bench {
     // best-of-2 reports the steady state a contended single pass can't.
     def onePass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       dropCached()
       name -> dt

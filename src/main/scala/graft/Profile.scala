@@ -23,13 +23,17 @@ object Profile {
     def dropCached(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     val warmDir = "/root/testdata/sf0.001"
+    // Full materialization, same as Bench: .count() would prune
+    // projections and eliminate sorts, hiding per-row compute.
+    def exec(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     for (n <- names) {
       val fn = QueryRegistry.byName(n).fn
-      try fn(spark, warmDir).count() catch { case e: Throwable => println(s"warmup $n: $e") }
+      try exec(fn(spark, warmDir)) catch { case e: Throwable => println(s"warmup $n: $e") }
       dropCached()
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        exec(fn(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         dropCached()
         dt

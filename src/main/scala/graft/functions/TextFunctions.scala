@@ -62,6 +62,27 @@ object TextFunctions {
   def uniqueRatio(toks: Column): Column =
     size(array_distinct(toks)).cast("double") / size(toks)
 
+  /** Count of the most frequent element in a string array (the "mode
+    * count" behind the C4/Gopher top-token and top-n-gram rules), as the
+    * longest run in the SORTED array: one array_sort + one linear
+    * `aggregate` pass = O(n log n) per row. The naive HOF form —
+    * `transform(array_distinct(a), e => size(filter(a, _ === e)))` — is
+    * O(distinct·n) re-evaluations of `a`'s expression tree (lambdas
+    * re-evaluate captured argument EXPRESSIONS per invocation; only
+    * bound column references are free), which measured ~30 ms/doc on
+    * 54-token docs. Null-seeded prev handles empty-string tokens. */
+  def maxElemCount(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+        lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Normalized Levenshtein similarity in [0,1] — the DuckDB-checkable twin
     * of the reference's Ratcliff/Obershelp ratio (movie_generator.py:89;
     * SURVEY.md §2.9 F8). */

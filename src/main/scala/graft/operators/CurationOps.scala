@@ -186,14 +186,19 @@ object CurationOps {
   private val q84 = GraftQuery(
     "q84_quality_filter",
     (s, d) => {
-      val toks = split(col("text"), " ")
-      val nTok = size(toks)
-      val uniq = size(array_distinct(toks)).cast("double") / nTok
+      import graft.functions.expressions.TokenMetrics.token_metrics
+      // All n-gram statistics from the fused single-pass TokenMetrics
+      // kernel (see its scaladoc: pure-HOF forms are interpreted and
+      // Catalyst re-substitutes staged arrays into consuming lambdas).
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), length(col("text")).as("lc"),
+          token_metrics(split(col("text"), " ")).as("m"))
+      val nTok = col("m.n_tokens")
+      val uniq = col("m.uniq_tokens").cast("double") / nTok
       // single-space-joined text: total word chars = length - (n-1) spaces
-      val meanW = (length(col("text")) - nTok + 1).cast("double") / nTok
-      val topFrac = array_max(transform(array_distinct(toks),
-        w => size(filter(toks, x => x === w)))).cast("double") / nTok
-      t(s, d, "documents")
+      val meanW = (col("lc") - nTok + 1).cast("double") / nTok
+      val topFrac = col("m.top_token_count").cast("double") / nTok
+      staged
         .select(col("doc_id"), col("source"),
           nTok.cast("long").as("n_tokens"),
           round(uniq, 6).as("uniq_ratio"),

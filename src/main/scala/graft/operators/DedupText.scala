@@ -197,15 +197,28 @@ object DedupText {
   private val q35 = GraftQuery(
     "q35_ngram_jaccard_blocked",
     (s, d) => {
+      import graft.functions.expressions.SortedJaccard.sorted_jaccard
+      // Sort each doc's (distinct) shingle set ONCE pre-join — it rides
+      // the shuffle materialized — then score pairs with the linear-merge
+      // SortedJaccard kernel: bit-identical to the array_intersect/
+      // array_union form (order-independent set ops, same final IEEE
+      // division) at ~40× less cost (46.8 s → ~1 s at sf0.1; the builtin
+      // pair builds two boxed hash sets per PAIR).
+      // repartition BEFORE the shingle projection: the corpus arrives as
+      // one file split, and the interpreted HOF shingle build is the
+      // per-row cost — left unspread it runs single-threaded both on the
+      // broadcast build side (collected to the driver AFTER the child
+      // plan runs on its one partition) and on the probe side
       val base = t(s, d, "documents")
-        .select(col("doc_id"), col("source"), shingles(tokens(col("text"))).as("sg"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"),
+          array_sort(shingles(tokens(col("text")))).as("sg"))
       val a = base.select(col("source"), col("doc_id").as("a_id"), col("sg").as("sga"))
       val b = base.select(col("source"), col("doc_id").as("b_id"), col("sg").as("sgb"))
       a.join(b, Seq("source"))
         .filter(col("a_id") < col("b_id"))
         .select(col("source"), col("a_id"), col("b_id"),
-          round(size(array_intersect(col("sga"), col("sgb"))).cast("double") /
-            size(array_union(col("sga"), col("sgb"))), 6).as("jaccard"))
+          round(sorted_jaccard(col("sga"), col("sgb")), 6).as("jaccard"))
         .orderBy(col("source"), col("a_id"), col("b_id"))
     },
     Some(s"""WITH $shSqlCte,

@@ -135,4 +135,42 @@ class FunctionsSpec extends SparkSpec {
       .select(levRatio(col("a"), col("b")).as("r"))
     assert(math.abs(df.as[Double].head() - (1.0 - 3.0 / 7)) < 1e-12)
   }
+
+  test("TokenMetrics kernel matches a naive reference on random token arrays") {
+    import graft.functions.expressions.TokenMetrics.token_metrics
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "", "dd", "a") // incl. empty + dup
+    val cases = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.size)))
+    } :+ Seq.empty[String] :+ Seq("solo") :+ Seq("x", "x")
+    val rows = cases.toDF("tk").select(token_metrics(col("tk")).as("m"))
+      .select("m.*").collect()
+    cases.zip(rows).foreach { case (tk, r) =>
+      val bi = tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val tri = tk.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      assert(r.getInt(0) == tk.size, s"n_tokens $tk")
+      assert(r.getInt(1) == tk.distinct.size, s"uniq_tokens $tk")
+      assert(r.getInt(2) ==
+        (if (tk.isEmpty) 0 else tk.groupBy(identity).values.map(_.size).max),
+        s"top_token_count $tk")
+      assert(r.getInt(3) == tri.distinct.size, s"uniq_trigrams $tk")
+      assert(r.getInt(4) ==
+        (if (bi.isEmpty) 0 else bi.groupBy(identity).values.map(_.size).max),
+        s"top_bigram_count $tk")
+    }
+  }
+
+  test("maxElemCount (sorted-run HOF) agrees with TokenMetrics top_token_count") {
+    import graft.functions.TextFunctions.maxElemCount
+    import graft.functions.expressions.TokenMetrics.token_metrics
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 50).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ => rnd.nextInt(5).toString)
+    }
+    val rows = cases.toDF("tk")
+      .select(maxElemCount(col("tk")).as("a"),
+        token_metrics(col("tk")).getField("top_token_count").as("b"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
 }
