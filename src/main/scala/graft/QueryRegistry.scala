@@ -25,7 +25,8 @@ object QueryRegistry {
       operators.SearchService.all ++
       operators.EditDistanceJoin.all ++
       operators.CurationOps.all ++
-      operators.AssemblyOps.all
+      operators.AssemblyOps.all ++
+      operators.CorpusOps.all
 
   lazy val byName: Map[String, GraftQuery] =
     queries.map(q => q.name -> q).toMap

@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SqlSurface {
 
   private def withViews(s: SparkSession, d: String)(sql: String): DataFrame = {
-    Seq("orders", "lineitem", "customer", "nation").foreach { n =>
+    Seq("orders", "lineitem", "customer", "nation", "region").foreach { n =>
       t(s, d, n).createOrReplaceTempView(n)
     }
     s.sql(sql)
@@ -62,5 +62,28 @@ object SqlSurface {
     (s, d) => withViews(s, d)(scalarSql),
     Some(scalarSql))
 
-  val all: Seq[GraftQuery] = Seq(q18, q19, q91)
+  /** Correlated LATERAL subquery with aggregate + per-group LIMIT — the
+    * "top-2 per outer row" idiom in pure ANSI SQL. Catalyst DECORRELATES
+    * it: the per-region LIMIT 2 becomes a WindowGroupLimit (rank
+    * short-circuit, no full window sort) feeding ONE broadcast join
+    * against region — no nested-loop re-execution per outer row, which is
+    * what makes the construct survive a 1000-executor scale-up. Verified
+    * in PLANS.md (no CartesianProduct, no per-row subquery). */
+  private val lateralSql =
+    """SELECT r_name, n_name, n_cust
+      FROM region,
+      LATERAL (SELECT n_name, count(*) AS n_cust
+               FROM nation JOIN customer ON n_nationkey = c_nationkey
+               WHERE n_regionkey = r_regionkey
+               GROUP BY n_name
+               ORDER BY n_cust DESC, n_name
+               LIMIT 2)
+      ORDER BY r_name, n_name"""
+
+  private val q110 = GraftQuery(
+    "q110_lateral_topk_per_region",
+    (s, d) => withViews(s, d)(lateralSql),
+    Some(lateralSql))
+
+  val all: Seq[GraftQuery] = Seq(q18, q19, q91, q110)
 }

@@ -410,5 +410,45 @@ object VectorSearch {
         vec_id, label, qscore
       FROM s ORDER BY qscore DESC, vec_id LIMIT 20"""))
 
-  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q80, q105)
+  /** q113 — hard-negative mining for contrastive training: for each of a
+    * small query set, the top-3 most-similar embeddings with a DIFFERENT
+    * label (similar-but-wrong examples are what contrastive/embedding
+    * training needs most). Same scale shape as q22: queries broadcast
+    * against the corpus scan, per-query rank window sees only the
+    * anti-label-filtered candidates; at 100 TB the candidate stream comes
+    * from the ANN ladder (q80/q26) instead of the full scan — the
+    * mining logic (anti-label filter + per-query rank) is unchanged. */
+  private val q113 = GraftQuery(
+    "q113_hard_negative_mining",
+    (s, d) => {
+      val queries = t(s, d, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("qvec"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      t(s, d, "embeddings")
+        .crossJoin(broadcast(queries))
+        .filter(col("label") =!= col("q_label"))
+        .withColumn("score", cosine(col("embedding"), col("qvec")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+          embedding AS qvec FROM embeddings WHERE vec_id < 5),
+      s AS (SELECT q_id, vec_id, label,
+              list_cosine_similarity(embedding, qvec) AS score
+            FROM embeddings, q WHERE label <> q_label),
+      r AS (SELECT q_id, vec_id, label,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, vec_id) AS rank
+            FROM s)
+      SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neg_id,
+        label AS neg_label
+      FROM r WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q80,
+    q105, q113)
 }

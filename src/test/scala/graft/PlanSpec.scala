@@ -235,4 +235,56 @@ class PlanSpec extends SparkSpec {
       .toSeq
     assert(dataEx.size <= 1, s"pivot shuffles more than once:\n$p")
   }
+
+  test("q108: PII scrub is a narrow per-row map — no shuffle before the output sort") {
+    val p = planOf("q108_pii_scrub")
+    assert(!p.contains("Join"), s"scrub introduced a join:\n$p")
+    val dataEx = p.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(l => l.contains("rangepartitioning") || l.contains("SinglePartition"))
+      .toSeq
+    assert(dataEx.isEmpty, s"per-row scrub shuffles:\n$p")
+  }
+
+  test("q110: correlated LATERAL + LIMIT decorrelates to WindowGroupLimit, no per-row subquery") {
+    val p = planOf("q110_lateral_topk_per_region")
+    // vanilla Spark plans the decorrelated per-group LIMIT as
+    // WindowGroupLimit; with GraftExtensions installed our TopKPerGroup
+    // rule upgrades it further to the two-phase heap exec (partial heap
+    // BEFORE the shuffle) — accept either short-circuit, reject a full
+    // Window sort.
+    assert(p.contains("TopKPerGroup") || p.contains("WindowGroupLimit"),
+      s"per-group limit not short-circuited:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"region join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral degenerated to nested loop:\n$p")
+  }
+
+  test("q112: mixture quotas broadcast back; only the per-source window shuffles") {
+    val p = planOf("q112_temperature_mixture")
+    assert(p.contains("BroadcastHashJoin"), s"quota join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"quota join fell back to SMJ:\n$p")
+  }
+
+  test("q113: hard-negative queries broadcast against the corpus scan, no SMJ") {
+    val p = planOf("q113_hard_negative_mining")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"mining fell back to SMJ:\n$p")
+  }
+
+  test("q114: snapshot diff is ONE full-outer hash join on the id, fingerprints map-side") {
+    val p = planOf("q114_corpus_diff")
+    assert(p.contains("FullOuter"), s"diff lost its full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // fingerprint, not text, crosses the shuffle: md5 is computed below the join
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      s"raw text shipped through the diff shuffle:\n$p")
+  }
+
+  test("q111: repeated-span inventory is explode + ONE hash aggregation on the span") {
+    val p = planOf("q111_repeated_spans")
+    assert(!p.contains("Join"), s"span inventory introduced a join:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), s"agg fell back to sort-based:\n$p")
+  }
 }
