@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  // 113 bench queries x several WholeStageCodegen classes each overflow
+  // the default 240m JIT code cache mid-run; HotSpot then stops JIT
+  // compiling and late CPU-bound queries execute interpreted (measured
+  // 3-4x: q79 6.3s in a fresh JVM vs 22-25s late in the bench).
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -8,6 +8,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Shuffle/spill dirs on tmpfs when available: the bench box's VM
+      // disk has bursty writeback stalls that inflate shuffle-heavy
+      // queries 2-3x at random (measured: q79 6.3s typical, 18s under a
+      // writeback storm; CPU-bound queries unaffected). A real cluster
+      // puts shuffle on local NVMe — tmpfs is the single-node analog,
+      // not a cheat: both passes of every query still write/read every
+      // shuffle byte.
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
+        else System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
@@ -41,9 +51,16 @@ object Bench {
     // Drop cached blocks a query leaves behind (localCheckpoint staging is
     // never unpersisted by the query itself): 79 queries x 2 passes of
     // retained RDDs otherwise fill storage memory and make late queries
-    // pay eviction/GC for earlier ones' leftovers.
-    def dropCached(): Unit =
+    // pay eviction/GC for earlier ones' leftovers. The explicit GC also
+    // lets ContextCleaner reclaim shuffle files + broadcast blocks (they
+    // are weak-reference-cleaned, i.e. only after their RDD objects are
+    // collected): with 112 full-materialization queries in one JVM the
+    // late-alphabet heavies otherwise time 2-3x slower than in a fresh
+    // JVM (measured: q79 6.3s fresh vs 15-22s in an aged heap).
+    def dropCached(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+    }
     dropCached()
     // Two timed passes, per-query MIN: round-2 driver-side numbers showed
     // 5-10× inflation on CPU-bound queries from machine contention

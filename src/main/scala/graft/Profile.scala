@@ -17,11 +17,20 @@ object Profile {
     val iters = opt("--iters", "2").toInt
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // tmpfs shuffle dirs, same rationale as Bench (VM-disk writeback
+      // storms inflate shuffle-heavy queries 2-3x at random)
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
+        else System.getProperty("java.io.tmpdir"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
-    def dropCached(): Unit =
+    def dropCached(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // let ContextCleaner reclaim shuffle files/broadcasts (same as Bench)
+      System.gc()
+    }
     val warmDir = "/root/testdata/sf0.001"
     // Full materialization, same as Bench: .count() would prune
     // projections and eliminate sorts, hiding per-row compute.

@@ -513,6 +513,39 @@ object EventOps {
       FROM first JOIN act USING (user_id)
       GROUP BY first.cohort ORDER BY cohort"""))
 
+  /** q116 — semi-structured access through Spark 4's VARIANT type:
+    * `parse_json` decodes each props payload ONCE into the binary
+    * Variant encoding, then `variant_get` does typed path extraction
+    * without re-parsing — at 100 TB the difference between parsing JSON
+    * text once per row vs once per extraction (q43's
+    * get_json_object re-parses the string for every path it reads).
+    * Values are engine-portable (the oracle reads the same paths with
+    * DuckDB's JSON functions), so the whole rollup hash-matches; only
+    * the decode machinery differs. */
+  private val q116 = GraftQuery(
+    "q116_variant_extract",
+    (s, d) => {
+      val v = parse_json(col("props"))
+      t(s, d, "events")
+        .select((col("user_id") % 10).as("bucket"),
+          variant_get(v, "$.k", "long").as("k"),
+          try_variant_get(v, "$.missing", "long").as("m"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_missing"))
+        .orderBy(col("bucket"))
+    },
+    Some("""SELECT user_id % 10 AS bucket, count(*) AS n,
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+      FROM events GROUP BY user_id % 10 ORDER BY bucket"""))
+
   val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q48, q49, q53,
-    q54, q73, q74, q86, q87, q93, q95, q97, q98)
+    q54, q73, q74, q86, q87, q93, q95, q97, q98, q116)
 }

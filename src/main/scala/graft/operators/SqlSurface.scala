@@ -85,5 +85,35 @@ object SqlSurface {
     (s, d) => withViews(s, d)(lateralSql),
     Some(lateralSql))
 
-  val all: Seq[GraftQuery] = Seq(q18, q19, q91, q110)
+  /** RECURSIVE CTE (Spark 4's UnionLoop execution — new SQL surface in
+    * 4.x): walk a synthetic binary hierarchy (parent(id) = id/2, the
+    * doc-folder tree) to each document's root, reporting walk depth.
+    * Spark iterates the loop with a distributed union per step — depth
+    * is O(log N) iterations here, each a narrow map over the frontier.
+    * Integer-safe division (CAST(floor(x/2) AS BIGINT)) keeps the SAME
+    * text running on both engines ('/' is double-division in both).
+    * The aggregate-over-recursion shape is q81's oracle pattern — here
+    * it's the ENGINE side, closing the loop: Spark runs recursive SQL
+    * too when the graph is shallow; the union-find operator remains the
+    * scale path for deep/wide graphs. */
+  private val recursiveSql =
+    """WITH RECURSIVE chain(doc_id, anc, depth) AS (
+        SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(floor(anc / 2) AS BIGINT), depth + 1
+        FROM chain WHERE anc > 0
+      )
+      SELECT doc_id, max(depth) AS depth,
+        CAST(count(*) AS BIGINT) AS path_len
+      FROM chain GROUP BY doc_id ORDER BY doc_id"""
+
+  private val q115 = GraftQuery(
+    "q115_recursive_hierarchy",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents")
+      s.sql(recursiveSql)
+    },
+    Some(recursiveSql))
+
+  val all: Seq[GraftQuery] = Seq(q18, q19, q91, q110, q115)
 }
