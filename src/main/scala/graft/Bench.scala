@@ -4,6 +4,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // tmpfs shuffle dir hygiene: shuffle files left by a crashed/killed run
+    // persist in RAM-backed /dev/shm across invocations and can exhaust
+    // shared memory. Clear ours before the session starts and again at exit.
+    def rmTree(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles).getOrElse(Array.empty).foreach(rmTree)
+      p.delete(): Unit
+    }
+    val shmDir = new java.io.File("/dev/shm/graft-bench")
+    if (shmDir.exists) rmTree(shmDir)
+    sys.addShutdownHook(if (shmDir.exists) rmTree(shmDir))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -68,14 +78,19 @@ object Bench {
     // best-of-2 reports the steady state a contended single pass can't.
     def onePass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // A query that throws must NOT time as "fast": record a -1.0 sentinel
+      // so a failure is distinguishable from a genuinely quick query.
+      val dt =
+        try { exec(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       dropCached()
       name -> dt
     }
     val passes = Seq(onePass(), onePass())
     val results = ordered.map(_._1).map { name =>
-      name -> passes.map(_.toMap.apply(name)).min
+      val ts = passes.map(_.toMap.apply(name))
+      val ok = ts.filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     // Millisecond precision keeps the whole 70+-query JSON line short
     // enough to survive the driver's bounded stdout-tail capture (round 1

@@ -26,7 +26,8 @@ object QueryRegistry {
       operators.EditDistanceJoin.all ++
       operators.CurationOps.all ++
       operators.AssemblyOps.all ++
-      operators.CorpusOps.all
+      operators.CorpusOps.all ++
+      operators.TokenizerOps.all
 
   lazy val byName: Map[String, GraftQuery] =
     queries.map(q => q.name -> q).toMap

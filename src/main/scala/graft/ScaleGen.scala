@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Derive a larger scale factor from an existing harness directory by
+  * unioning R key-shifted replicas — the scaling-evidence generator for
+  * BASELINE.md (sf0.1 × 10 ≈ sf1). The construction is deliberately NOT
+  * verbatim duplication: verbatim copies make every content-keyed
+  * operator (MinHash bands, ed-join segments, embedding cosine) go
+  * quadratic in the replica count by DATA construction, which would
+  * measure the generator, not the plan. Instead each replica is an
+  * independent "shard" with the same internal statistics:
+  *
+  *  - every key column shifts by replica × (max_key + 1), consistently
+  *    across fact/dim references (a replica joins within itself);
+  *  - TPC-H-derived names regenerate from the shifted key
+  *    (Customer#%09d / Supplier#%09d), so string-similarity structure
+  *    matches a genuinely bigger table;
+  *  - free text (documents.text, p_name) gets a per-word replica-digit
+  *    prefix for replicas > 0 — within-replica token/shingle/edit
+  *    structure is preserved, cross-replica strings are far apart
+  *    (every word differs ⇒ edit distance ≥ word count, disjoint
+  *    shingles, disjoint vocab) exactly like fresh data;
+  *  - embeddings rotate cyclically by the replica index (norms and
+  *    within-replica geometry preserved; cross-replica cosines
+  *    decorrelate) and labels shift — more IVF cells, constant cell
+  *    size, the way a bigger corpus actually grows;
+  *  - region/nation stay fixed: dimensions don't scale with the fact
+  *    tables, which is what makes broadcast plans the right answer.
+  *
+  * Replica 0 is byte-identical to the source, so sf-ratio runs compare
+  * a superset, not different data. */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft-sf1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, out, reps)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
+    def rd(name: String): DataFrame = Tables.t(spark, src, name)
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1
+    val custS = stride(rd("customer"), "c_custkey")
+    val suppS = stride(rd("supplier"), "s_suppkey")
+    val partS = stride(rd("part"), "p_partkey")
+    val ordS = stride(rd("orders"), "o_orderkey")
+    val docS = stride(rd("documents"), "doc_id")
+    val vecS = stride(rd("embeddings"), "vec_id")
+    val evS = stride(rd("events"), "event_id")
+    val userS = rd("events").agg(max(col("user_id"))).head().getLong(0) + 1
+    val labelS = rd("embeddings").agg(max(col("label"))).head().getInt(0) + 1
+
+    // replicate: cross with the replica index, apply per-table transforms,
+    // conform back to the source schema's exact types
+    def replicate(name: String)(tx: DataFrame => DataFrame): Unit = {
+      val base = rd(name)
+      val schema: StructType = base.schema
+      val rep = base.crossJoin(
+        spark.range(0, reps).select(col("id").cast("int").as("rep")))
+      val built = tx(rep)
+      val conformed = built.select(
+        schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      conformed.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    def shifted(key: String, s: Long) = col(key) + col("rep") * s
+    // per-word replica-digit prefix (rep 0 untouched)
+    def prefixWords(c: String) = when(col("rep") === 0, col(c)).otherwise(
+      array_join(transform(split(col(c), " "),
+        w => concat(col("rep").cast("string"), w)), " "))
+
+    // fixed dims: straight copy
+    Seq("region", "nation").foreach { n =>
+      rd(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
+    }
+    replicate("customer")(df => df
+      .withColumn("c_custkey", shifted("c_custkey", custS))
+      .withColumn("c_name", format_string("Customer#%09d", col("c_custkey"))))
+    replicate("supplier")(df => df
+      .withColumn("s_suppkey", shifted("s_suppkey", suppS))
+      .withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey"))))
+    replicate("part")(df => df
+      .withColumn("p_partkey", shifted("p_partkey", partS))
+      .withColumn("p_name", prefixWords("p_name")))
+    replicate("orders")(df => df
+      .withColumn("o_orderkey", shifted("o_orderkey", ordS))
+      .withColumn("o_custkey", shifted("o_custkey", custS)))
+    replicate("lineitem")(df => df
+      .withColumn("l_orderkey", shifted("l_orderkey", ordS))
+      .withColumn("l_partkey", shifted("l_partkey", partS))
+      .withColumn("l_suppkey", shifted("l_suppkey", suppS)))
+    replicate("events")(df => df
+      .withColumn("event_id", shifted("event_id", evS))
+      .withColumn("user_id", shifted("user_id", userS)))
+    replicate("documents")(df => df
+      .withColumn("doc_id", shifted("doc_id", docS))
+      .withColumn("text", prefixWords("text"))
+      .withColumn("n_chars", length(col("text")).cast("long")))
+    replicate("embeddings")(df => df
+      .withColumn("vec_id", shifted("vec_id", vecS))
+      .withColumn("label", col("label") + col("rep") * labelS)
+      .withColumn("embedding", expr(
+        """concat(slice(embedding, rep + 1, size(embedding) - rep),
+                  slice(embedding, 1, rep))""")))
+    println(s"""{"scalegen":"done","src":"$src","out":"$out","reps":$reps}""")
+  }
+}

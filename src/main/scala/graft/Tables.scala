@@ -27,8 +27,12 @@ object Tables {
     * Integer `div` — double division would lose precision above 2^53. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // nanos→micros only when ts actually arrives as nanos-long (the
+    // harness files); derived snapshots (ScaleGen) store a plain timestamp
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   /** Cast to DECIMAL(18,s) — exact, associative sums on both engines. */

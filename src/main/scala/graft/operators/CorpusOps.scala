@@ -71,10 +71,15 @@ object CorpusOps {
     * (the tokenizer-training prep step: how many corpus tokens do the top
     * K vocabulary entries cover). Scale shape: the corpus-sized stage is
     * the exploded wordcount, which partial-aggregates map-side before one
-    * shuffle on the token; only the DISTINCT VOCABULARY (orders of
-    * magnitude smaller than the corpus) reaches the single-partition
-    * ranking window — for web-scale vocabs swap the window for
-    * TopKPerGroup (plans/TopKPerGroup.scala) with a frequency floor. */
+    * shuffle on the token; the FULL vocabulary (10^8+ rows at web scale)
+    * is then reduced by two all-reduce-shaped ops that never funnel it
+    * through one task — grand total via a plain scalar agg(sum) and the
+    * top 100 via orderBy.limit(100), which Spark plans as
+    * TakeOrderedAndProject (per-partition partial top-k, driver merges
+    * 100-row heaps). Only the 100 SURVIVORS cross the rank/cumsum window;
+    * the cumulative sum over them equals the cumulative sum over the full
+    * vocabulary at ranks <= 100 because the ordering key (cnt DESC, token)
+    * is total. The one-row total joins back via broadcast. */
   private val q109 = GraftQuery(
     "q109_vocab_coverage",
     (s, d) => {
@@ -82,14 +87,13 @@ object CorpusOps {
         .repartition(s.sparkContext.defaultParallelism)
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      val ranked = counts
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
-        .withColumn("total", sum(col("cnt")).over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .withColumn("cum", sum(col("cnt")).over(
-          Window.orderBy(col("cnt").desc, col("token"))))
-      ranked.filter(col("rank") <= 100)
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      val top = counts.orderBy(col("cnt").desc, col("token")).limit(100)
+      val w = Window.orderBy(col("cnt").desc, col("token"))
+      top
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .crossJoin(broadcast(total))
         .select(col("rank").cast("long").as("rank"), col("token"),
           col("cnt").as("freq"),
           round(col("cum").cast("double") / col("total"), 6).as("cum_coverage"))

@@ -219,15 +219,82 @@ object EditDistanceJoin {
       .agg(min(col("lev")).as("lev"))
   }
 
+  /** Brute-force ed <= k self-join within blocks — the right plan when
+    * blocks are SMALL: candidate generation (segment/signature explodes,
+    * multi-way shuffles, scalar pre-agg jobs) is pure overhead when
+    * n_block² thresholded-levenshtein probes are cheaper than building the
+    * index. With blockCols this is a plain equi-join on the block (pairs
+    * never cross blocks); with none it is a broadcast nested-loop join —
+    * only valid under the auto-selector's row-count ceiling. The banded
+    * levenshtein(a, b, k) early-abandons at |Δlen| > k internally; the
+    * explicit length pre-filter in the join condition drops those pairs
+    * before the string compare. Output schema/values match selfJoinK1/K2
+    * exactly (full-string distance, one row per pair). */
+  def bruteForceSelfJoin(df: DataFrame, keyCol: String, strCol: String,
+                         k: Int, blockCols: Seq[String] = Nil): DataFrame = {
+    // distinct column names per side: self-join attribute resolution on two
+    // frames derived from the same parent is ambiguous otherwise
+    val a = df.select((blockCols.map(c => col(c).as(s"__a_$c")) :+
+      col(keyCol).as("a_key") :+ col(strCol).as("a_str")): _*)
+    val b = df.select((blockCols.map(c => col(c).as(s"__b_$c")) :+
+      col(keyCol).as("b_key") :+ col(strCol).as("b_str")): _*)
+    val blockPred = blockCols.map(c => col(s"__a_$c") === col(s"__b_$c"))
+      .foldLeft(lit(true))(_ && _)
+    a.join(b, blockPred && col("a_key") < col("b_key") &&
+        abs(length(col("a_str")) - length(col("b_str"))) <= k)
+      .withColumn("lev", levenshtein(col("a_str"), col("b_str"), k).cast("long"))
+      .filter(col("lev") >= 0)
+      .select((blockCols.map(c => col(s"__a_$c").as(c)) :+
+        col("a_key") :+ col("b_key") :+ col("lev")): _*)
+  }
+
+  /** Data-shape strategy selection (pure function, unit-tested): segment
+    * candidate generation amortizes only when blocks are big enough that
+    * O(n²) verification dominates its fixed cost (scalar pre-agg job,
+    * explode factor, extra shuffles). Below the ceiling, n²/2 banded
+    * levenshtein probes on short strings cost less than one extra
+    * Spark stage. 60k² / 2 = 1.8e9 probes ≈ a few seconds on 32 cores —
+    * above that, PassJoin's O(n·k) keys win and keep winning forever. */
+  val BruteForceMaxBlock = 60000L
+  def chooseStrategy(maxBlockRows: Long,
+                     threshold: Long = BruteForceMaxBlock): String =
+    if (maxBlockRows <= threshold) "brute" else "passjoin"
+
+  /** Auto-selecting ed <= k self-join: measures the largest block (a
+    * cheap count aggregate — at warehouse scale this comes from table
+    * stats instead) and picks brute-force-within-block vs PassJoin
+    * per chooseStrategy. k = 1 assumes equal-length strings on the
+    * PassJoin path (selfJoinK1's contract); brute force has no such
+    * precondition. */
+  def selfJoinAuto(df: DataFrame, keyCol: String, strCol: String, k: Int,
+                   blockCols: Seq[String] = Nil,
+                   threshold: Long = BruteForceMaxBlock): DataFrame = {
+    val maxBlock =
+      if (blockCols.isEmpty) df.count()
+      else df.groupBy(blockCols.map(col): _*).count()
+        .agg(max(col("count"))).head().getLong(0)
+    chooseStrategy(maxBlock, threshold) match {
+      case "brute" => bruteForceSelfJoin(df, keyCol, strCol, k, blockCols)
+      case _ if k <= 1 => selfJoinK1(df, keyCol, strCol, blockCols)
+      case _ => selfJoinK2(df, keyCol, strCol, blockCols)
+    }
+  }
+
   /** PassJoin over customer names, global — no metadata blocking key
-    * (compare q38, which blocks on nation to tame O(n²)). */
+    * (compare q38, which blocks on nation to tame O(n²)). The auto-
+    * selector picks brute force here: 15k equal-length digit-suffix
+    * names (sf0.1) are FAR below the crossover, and PassJoin's fixed
+    * pipeline (scalar prefix agg + two explodes + three shuffles) costs
+    * 10× the 112M banded probes it avoids — the exact data shape the
+    * selector exists for. At sf100 the customer table crosses the
+    * threshold and the same call runs PassJoin. */
   private val q56 = GraftQuery(
     "q56_passjoin_edit_pairs",
     (s, d) => {
       val c = t(s, d, "customer")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("c_custkey"), col("c_name"))
-      selfJoinK1(c, "c_custkey", "c_name")
+      selfJoinAuto(c, "c_custkey", "c_name", k = 1)
         .select(col("a_key"), col("b_key"), col("lev"))
         .orderBy(col("a_key"), col("b_key"))
     },

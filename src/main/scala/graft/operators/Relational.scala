@@ -694,11 +694,19 @@ object Relational {
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"))
+      // Sums are exact BIGINTs, but a PRODUCT of two sums exceeds int64
+      // (non-ANSI silent wraparound) once a group nears ~1e9 rows. Cast
+      // each sum to double BEFORE multiplying — exactly what the SQL twin
+      // does — so products are IEEE ops over sums that are themselves
+      // < 2^53 (exact as doubles): bit-identical across engines AND safe
+      // at the row counts the headroom comment above claims.
       val n = col("n").cast("double")
-      val cov = (col("sxy") - col("sx") * col("sy") / n) / (col("n") - 1)
-      val corr = (n * col("sxy") - col("sx") * col("sy")) /
-        (sqrt(n * col("sxx") - col("sx") * col("sx")) *
-          sqrt(n * col("syy") - col("sy") * col("sy")))
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val sxy = col("sxy").cast("double")
+      val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+      val cov = (sxy - sx * sy / n) / (n - lit(1.0))
+      val corr = (n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
       stats.select(col("l_returnflag"), col("n"),
           round(corr, 6).as("corr_qty_disc"),
           round(cov, 6).as("cov_qty_disc"))

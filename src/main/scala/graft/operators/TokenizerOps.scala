@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.Tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative BPE merge training (Sennrich, Haddow, Birch — "Neural Machine
+  * Translation of Rare Words with Subword Units", arXiv:1508.07909 — the
+  * tokenizer-prep op every LLM training pipeline runs before anything
+  * else). Each merge round is ONE distributed hash aggregation (adjacent
+  * symbol-pair counts weighted by word frequency, partial-aggregated
+  * map-side) followed by a 1-row best-pair reduction (orderBy.limit(1) →
+  * TakeOrderedAndProject) that is broadcast back into a narrow per-row
+  * merge map. N is small and static (GPT-2 trains 50k rounds of exactly
+  * this dataflow; we run 8), so the whole trainer is a fixed chain of
+  * agg→broadcast→map stages — no driver-side data movement at all, and
+  * oracle-expressible as N chained CTEs.
+  *
+  * Word encoding: symbols joined by TWO spaces with a single leading and
+  * trailing space (" l  o  w "), so every symbol owns one space on each
+  * side. The merge of pair (a, b) is then the plain (non-regex) string
+  * replace " a  b " → " ab ": left-to-right, non-overlapping — exactly
+  * BPE's merge-application order — and repeated adjacent occurrences
+  * ("a a a") resolve identically in Spark's `replace` and DuckDB's
+  * `replace` because both scan the ORIGINAL string past each match.
+  * Ties in pair frequency break lexicographically on (a, b) — fully
+  * deterministic across engines and partitionings.
+  *
+  * Scale: the per-round pair count shuffles (symbol, symbol) keys with
+  * map-side combine — the word dict (even web-scale: ~1e7 distinct words)
+  * is tiny next to the corpus, and the corpus-sized wordcount runs once
+  * up front. The N-round chain recomputes the dict lineage per round
+  * (cheap narrow maps over the dict); a 50k-round production run would
+  * checkpoint the encoded dict every few hundred rounds instead.
+  */
+object TokenizerOps {
+
+  /** One round's pair counts over the encoded dict (freq, s). */
+  private def pairCounts(cur: DataFrame): DataFrame = cur
+    .select(col("freq"), split(trim(col("s")), "  ").as("tk"))
+    // guard: sequence(1, 0) is DESCENDING in Spark — 1-symbol words must
+    // not reach the transform
+    .filter(size(col("tk")) >= 2)
+    .select(col("freq"), explode(expr(
+      """transform(sequence(1, size(tk) - 1),
+         i -> named_struct('a', element_at(tk, i), 'b', element_at(tk, i + 1)))"""))
+      .as("p"))
+    .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    .agg(sum(col("freq")).as("cnt"))
+
+  /** Train `rounds` BPE merges over a word-frequency dict (columns: `w`
+    * string, `freq` long). Returns the learned merge table
+    * (round, a, b, merged, cnt) — the artifact a tokenizer ships. */
+  def train(dict: DataFrame, rounds: Int): DataFrame = {
+    val enc = dict.select(col("freq"),
+      concat(lit(" "),
+        array_join(expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"), "  "),
+        lit(" ")).as("s"))
+    var cur = enc
+    var merged: Seq[DataFrame] = Nil
+    for (r <- 1 to rounds) {
+      val best = pairCounts(cur)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+      merged = merged :+ best.select(lit(r).cast("long").as("round"),
+        col("a"), col("b"), concat(col("a"), col("b")).as("merged"), col("cnt"))
+      cur = cur.crossJoin(broadcast(best.select(col("a"), col("b"))))
+        .select(col("freq"),
+          expr("replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')").as("s"))
+    }
+    merged.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  private val Rounds = 8
+  private val DictSize = 200
+
+  /** q117 — BPE merge training over the documents corpus: word dict =
+    * top-200 lowercase-alphabetic words by (freq DESC, word), then 8
+    * merge rounds. The oracle is the same program as 8 chained CTE
+    * layers (pair-count → best-pair → replace per layer). */
+  private val q117 = GraftQuery(
+    "q117_bpe_merge_training",
+    (s, d) => {
+      val dict = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w")).limit(DictSize)
+      train(dict, Rounds)
+    },
+    Some {
+      val dict =
+        """dict AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+          WHERE regexp_matches(w, '^[a-z]+$')
+          GROUP BY w ORDER BY freq DESC, w LIMIT 200)"""
+      val w0 =
+        """w0 AS (SELECT freq,
+          ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+                   i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS s
+          FROM dict)"""
+      val roundCtes = (1 to Rounds).map { r =>
+        s"""p$r AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT freq, tk[i] AS a, tk[i + 1] AS b FROM (
+              SELECT freq, tk, unnest(range(1, len(tk))) AS i FROM (
+                SELECT freq, string_split(trim(s), '  ') AS tk FROM w${r - 1})))
+          GROUP BY a, b),
+        b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+        w$r AS (SELECT freq,
+                  replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s
+                FROM w${r - 1}, b$r)"""
+      }.mkString(",\n")
+      val unions = (1 to Rounds)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS round, a, b, a || b AS merged, cnt FROM b$r")
+        .mkString("\n UNION ALL ")
+      s"WITH $dict,\n$w0,\n$roundCtes\n$unions ORDER BY round"
+    })
+
+  val all: Seq[GraftQuery] = Seq(q117)
+}

@@ -416,8 +416,9 @@ object VectorSearch {
     * training needs most). Same scale shape as q22: queries broadcast
     * against the corpus scan, per-query rank window sees only the
     * anti-label-filtered candidates; at 100 TB the candidate stream comes
-    * from the ANN ladder (q80/q26) instead of the full scan — the
-    * mining logic (anti-label filter + per-query rank) is unchanged. */
+    * from the ANN ladder (q80/q26) instead of the full scan — q118 below
+    * IS that form (sign-LSH probe capping the window's input); this exact
+    * variant doubles as its recall oracle. */
   private val q113 = GraftQuery(
     "q113_hard_negative_mining",
     (s, d) => {
@@ -449,6 +450,102 @@ object VectorSearch {
         label AS neg_label
       FROM r WHERE rank <= 3 ORDER BY q_id, rank"""))
 
+  /** q118 — hard-negative mining THROUGH the ANN ladder (the 100-TB form
+    * of q113, which scans the full corpus per query): every vector gets a
+    * sign-LSH bucket (q80's md5-derived hyperplanes — integer-exact, so
+    * the candidate set is bit-identical across engines), each query probes
+    * its own bucket plus all Hamming-1 neighbors, and ONLY the probed
+    * candidates (~7/64 of the corpus per query) reach the anti-label
+    * filter and the per-query rank window. The window's input is capped
+    * by the probe instead of being the whole corpus — the exact shape the
+    * q113 scaladoc promises for scale — while q113 itself stays the
+    * exhaustive oracle-exact form. Signatures are computed ONCE for the
+    * whole corpus (one agg over the posexploded fixed-point embeddings);
+    * the per-query fan-out is 5 queries × 7 one-long probe keys,
+    * broadcast. */
+  private val q118 = GraftQuery(
+    "q118_hard_negative_ann",
+    (s, d) => {
+      val scale = 1000000L; val bits = 6; val dim = 64
+      val emb = t(s, d, "embeddings")
+      def fx(v: Column): Column = round(v.cast("double") * scale).cast("long")
+      val hyp = s.range(0, bits).toDF("jj")
+        .select(col("jj").cast("int").as("j"))
+        .select(col("j"),
+          posexplode(transform(sequence(lit(0), lit(dim - 1)),
+            i => conv(substring(md5(concat(col("j").cast("string"), lit("|"),
+              i.cast("string"))), 1, 8), 16, 10).cast("long") % 2001 - 1000))
+            .as(Seq("pos", "hv")))
+      val ex = emb
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"), fx(col("v")).as("ev"))
+      val sig = ex.join(broadcast(hyp), Seq("pos"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("ev") * col("hv")).as("dp"))
+        .groupBy(col("vec_id"))
+        .agg(sum(when(col("dp") >= 0, expr("shiftleft(1, j)"))
+          .otherwise(lit(0))).as("bucket"))
+      val qsig = sig.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("bucket").as("qbucket"))
+      val flips = s.range(0, bits + 1).toDF("f")
+        .select(when(col("f") === bits, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(f AS INT))")).as("flip"))
+      val probes = qsig.crossJoin(flips)
+        .select(col("q_id"), col("qbucket").bitwiseXOR(col("flip")).as("pbucket"))
+        .distinct()
+      val cand = sig.join(broadcast(probes), col("bucket") === col("pbucket"))
+        .select(col("q_id"), col("vec_id"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("qvec"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      emb.join(cand, Seq("vec_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .filter(col("label") =!= col("q_label"))
+        .withColumn("score", cosine(col("embedding"), col("qvec")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH hyp AS (
+        SELECT j, pos,
+               ('0x' || substr(md5(j::VARCHAR || '|' || pos::VARCHAR), 1, 8))::BIGINT
+                 % 2001 - 1000 AS hv
+        FROM range(6) r(j), range(64) p(pos)),
+      ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS ev
+        FROM embeddings),
+      dots AS (
+        SELECT vec_id, j, CAST(sum(ev * hv) AS BIGINT) AS dp
+        FROM ex JOIN hyp USING (pos) GROUP BY vec_id, j),
+      sig AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dp >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id),
+      qsig AS (SELECT vec_id AS q_id, bucket AS qbucket FROM sig WHERE vec_id < 5),
+      probes AS (
+        SELECT DISTINCT q_id, xor(qbucket, f) AS pbucket
+        FROM qsig, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS f)),
+      cand AS (SELECT q_id, vec_id FROM sig JOIN probes ON bucket = pbucket),
+      q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qvec
+            FROM embeddings WHERE vec_id < 5),
+      s AS (SELECT c.q_id, e.vec_id, e.label,
+              list_cosine_similarity(e.embedding, qvec) AS score
+            FROM embeddings e JOIN cand c USING (vec_id)
+                 JOIN q ON c.q_id = q.q_id
+            WHERE e.label <> q.q_label),
+      r AS (SELECT q_id, vec_id, label,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, vec_id) AS rank
+            FROM s)
+      SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neg_id,
+        label AS neg_label
+      FROM r WHERE rank <= 3 ORDER BY q_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q80,
-    q105, q113)
+    q105, q113, q118)
 }
