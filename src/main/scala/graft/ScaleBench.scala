@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-evidence runner (BASELINE.md): time the same queries at two
+  * scale factors (harness sf0.1 and the ScaleGen-derived sf1) and report
+  * per-query sf1/sf0.1 time ratios. A blocked/bucketed plan should scale
+  * ~linearly in rows (ratio ≈ 10 at 10× data, usually less while fixed
+  * per-query overhead still amortizes); anything clearly super-linear is
+  * a hidden all-pairs. Same methodology as Bench: full materialization
+  * via toRdd.count(), best-of-2, cache dropped between queries. */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SMALL_DIR", "/root/testdata/sf0.1")
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_BIG_DIR", "/tmp/graft-sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // the bench's most expensive queries (where scaling behavior is
+    // actually at stake) + one representative per family
+    val defaults = Seq(
+      "q79_passjoin_k2_varlen", "q34_minhash_lsh_pairs",
+      "q35_ngram_jaccard_blocked", "q85_decontaminate_ngrams",
+      "q56_passjoin_edit_pairs", "q38_fuzzy_name_pairs",
+      "q42_session_window_30m", "q90_bm25_retrieval",
+      "q111_repeated_spans", "q106_curation_pipeline_e2e",
+      "q81_dedup_components", "q117_bpe_merge_training",
+      "q118_hard_negative_ann", "q20_vector_topk", "q01_pricing_summary",
+      "q08_running_sum_per_user")
+    val names = if (args.nonEmpty) args.toSeq else defaults
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-scale"
+        else System.getProperty("java.io.tmpdir"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(spark)
+    def exec(name: String, dir: String): Long =
+      QueryRegistry.byName(name).fn(spark, dir).queryExecution.toRdd.count()
+    def dropCached(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+    }
+    // codegen warmup at the tiny sf
+    names.foreach { n =>
+      try exec(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }
+    }
+    dropCached()
+    def time(name: String, dir: String): Double = {
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { exec(name, dir); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      dropCached()
+      val ok = ts.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val rows = names.map { n =>
+      val tSmall = time(n, smallDir)
+      val tBig = time(n, bigDir)
+      val ratio = if (tSmall > 0 && tBig > 0) tBig / tSmall else -1.0
+      System.err.println(f"SCALE $n%-34s small=${f3(tSmall)}s big=${f3(tBig)}s ratio=${f3(ratio)}")
+      s""""$n":{"small":${f3(tSmall)},"big":${f3(tBig)},"ratio":${f3(ratio)}}"""
+    }
+    val line = s"""{"metric":"scale_ratio","small":"$smallDir","big":"$bigDir","queries":{${rows.mkString(",")}}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_LOCAL.json"), line + "\n")
+    spark.stop()
+    println(line)
+  }
+}

@@ -240,38 +240,53 @@ object EditDistanceJoin {
       col(keyCol).as("b_key") :+ col(strCol).as("b_str")): _*)
     val blockPred = blockCols.map(c => col(s"__a_$c") === col(s"__b_$c"))
       .foldLeft(lit(true))(_ && _)
+    // The thresholded levenshtein goes in the JOIN CONDITION, authored
+    // LAST in the conjunct chain: a post-join .filter gets pushed into
+    // the condition anyway, but Catalyst PREPENDS it, putting the
+    // expensive predicate ahead of the cheap key/length short-circuits
+    // on the n² pair stream. Survivors re-evaluate lev once in the
+    // projection (output-sized, negligible).
+    val lv = levenshtein(col("a_str"), col("b_str"), k)
     a.join(b, blockPred && col("a_key") < col("b_key") &&
-        abs(length(col("a_str")) - length(col("b_str"))) <= k)
-      .withColumn("lev", levenshtein(col("a_str"), col("b_str"), k).cast("long"))
-      .filter(col("lev") >= 0)
+        abs(length(col("a_str")) - length(col("b_str"))) <= k && lv >= 0)
       .select((blockCols.map(c => col(s"__a_$c").as(c)) :+
-        col("a_key") :+ col("b_key") :+ col("lev")): _*)
+        col("a_key") :+ col("b_key") :+ lv.cast("long").as("lev")): _*)
   }
 
-  /** Data-shape strategy selection (pure function, unit-tested): segment
-    * candidate generation amortizes only when blocks are big enough that
-    * O(n²) verification dominates its fixed cost (scalar pre-agg job,
-    * explode factor, extra shuffles). Below the ceiling, n²/2 banded
-    * levenshtein probes on short strings cost less than one extra
-    * Spark stage. 60k² / 2 = 1.8e9 probes ≈ a few seconds on 32 cores —
-    * above that, PassJoin's O(n·k) keys win and keep winning forever. */
-  val BruteForceMaxBlock = 60000L
+  /** Data-shape strategy selection (pure function, unit-tested): brute
+    * force wins only while a block's n²/2 banded levenshtein probes cost
+    * less than PassJoin's fixed pipeline (scalar prefix-agg job, explode
+    * factor, two shuffles). The ceiling is MEASURED, not estimated:
+    * at sf0.1 (15k equal-length names, local[32]) brute force runs
+    * 9–13 s against PassJoin's 0.2 s warm / 2 s cold — nested-loop pair
+    * probing in the JVM costs ~25–50 ns/pair, so the crossover sits
+    * near 3k rows (≈4.5M probes ≈ one stage's latency), far lower than
+    * probe-cost intuition suggests. Above it, PassJoin's O(n·k) keys
+    * win and keep winning forever. */
+  val BruteForceMaxBlock = 3000L
   def chooseStrategy(maxBlockRows: Long,
                      threshold: Long = BruteForceMaxBlock): String =
     if (maxBlockRows <= threshold) "brute" else "passjoin"
 
-  /** Auto-selecting ed <= k self-join: measures the largest block (a
-    * cheap count aggregate — at warehouse scale this comes from table
-    * stats instead) and picks brute-force-within-block vs PassJoin
-    * per chooseStrategy. k = 1 assumes equal-length strings on the
-    * PassJoin path (selfJoinK1's contract); brute force has no such
-    * precondition. */
+  /** Auto-selecting ed <= k self-join: sizes the largest block and picks
+    * brute-force-within-block vs PassJoin per chooseStrategy. Global
+    * (no blocks): the row count comes from CATALYST PLAN STATISTICS
+    * (rowCount when available, else sizeInBytes over an estimated row
+    * width) — no extra job, and exactly how a warehouse engine makes
+    * this call; an order-of-magnitude estimate is enough because both
+    * paths are correct and the crossover is soft. Blocked: per-block
+    * sizes aren't in stats, so one cheap count aggregate. k = 1 assumes
+    * equal-length strings on the PassJoin path (selfJoinK1's contract);
+    * brute force has no such precondition. */
   def selfJoinAuto(df: DataFrame, keyCol: String, strCol: String, k: Int,
                    blockCols: Seq[String] = Nil,
                    threshold: Long = BruteForceMaxBlock): DataFrame = {
     val maxBlock =
-      if (blockCols.isEmpty) df.count()
-      else df.groupBy(blockCols.map(col): _*).count()
+      if (blockCols.isEmpty) {
+        val stats = df.queryExecution.optimizedPlan.stats
+        stats.rowCount.map(_.toLong)
+          .getOrElse((stats.sizeInBytes / 40).toLong)
+      } else df.groupBy(blockCols.map(col): _*).count()
         .agg(max(col("count"))).head().getLong(0)
     chooseStrategy(maxBlock, threshold) match {
       case "brute" => bruteForceSelfJoin(df, keyCol, strCol, k, blockCols)
@@ -281,13 +296,11 @@ object EditDistanceJoin {
   }
 
   /** PassJoin over customer names, global — no metadata blocking key
-    * (compare q38, which blocks on nation to tame O(n²)). The auto-
-    * selector picks brute force here: 15k equal-length digit-suffix
-    * names (sf0.1) are FAR below the crossover, and PassJoin's fixed
-    * pipeline (scalar prefix agg + two explodes + three shuffles) costs
-    * 10× the 112M banded probes it avoids — the exact data shape the
-    * selector exists for. At sf100 the customer table crosses the
-    * threshold and the same call runs PassJoin. */
+    * (compare q38, which blocks on nation to tame O(n²)). Routed through
+    * the auto-selector: at sf0.01 and below (≤1.5k names) it picks the
+    * single-stage brute join; at sf0.1's 15k rows the measured crossover
+    * (see BruteForceMaxBlock) already favors PassJoin's candidate
+    * generation, and stays that way forever. */
   private val q56 = GraftQuery(
     "q56_passjoin_edit_pairs",
     (s, d) => {

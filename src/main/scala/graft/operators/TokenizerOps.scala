@@ -51,24 +51,43 @@ object TokenizerOps {
 
   /** Train `rounds` BPE merges over a word-frequency dict (columns: `w`
     * string, `freq` long). Returns the learned merge table
-    * (round, a, b, merged, cnt) — the artifact a tokenizer ships. */
+    * (round, a, b, merged, cnt) — the artifact a tokenizer ships.
+    *
+    * Iteration structure: the corpus-sized work (the wordcount feeding
+    * `dict`) runs ONCE; the encoded dict is cached (it is orders of
+    * magnitude smaller than the corpus — the reduction already happened)
+    * and each round is one distributed pair-count aggregation whose
+    * 1-ROW best-pair result hops to the driver to parameterize the next
+    * round's narrow merge map — the standard Spark iterative-algorithm
+    * shape (MLlib k-means/GBT do exactly this per iteration; the hop is
+    * a scalar, never data). A fully lazy chain instead re-derives the
+    * corpus lineage per round: O(rounds²) stages and a re-scan of the
+    * corpus each round (measured 7.0 s vs ~1.5 s at sf0.1, 8 rounds). */
   def train(dict: DataFrame, rounds: Int): DataFrame = {
+    val spark = dict.sparkSession
     val enc = dict.select(col("freq"),
       concat(lit(" "),
         array_join(expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"), "  "),
         lit(" ")).as("s"))
+      .persist()
     var cur = enc
-    var merged: Seq[DataFrame] = Nil
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long)]
     for (r <- 1 to rounds) {
       val best = pairCounts(cur)
-        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-      merged = merged :+ best.select(lit(r).cast("long").as("round"),
-        col("a"), col("b"), concat(col("a"), col("b")).as("merged"), col("cnt"))
-      cur = cur.crossJoin(broadcast(best.select(col("a"), col("b"))))
-        .select(col("freq"),
-          expr("replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')").as("s"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).head()
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r.toLong, a, b, a + b, cnt))
+      // literal-parameterized narrow map on the CACHED dict (no lineage
+      // growth back to the corpus); lit() keeps token text out of any
+      // parsed expression string
+      cur = cur.select(col("freq"),
+        call_function("replace", col("s"),
+          concat(lit(" "), lit(a), lit("  "), lit(b), lit(" ")),
+          concat(lit(" "), lit(a), lit(b), lit(" "))).as("s"))
     }
-    merged.reduce(_ unionAll _).orderBy(col("round"))
+    enc.unpersist(false)
+    import spark.implicits._
+    merges.toSeq.toDF("round", "a", "b", "merged", "cnt")
   }
 
   private val Rounds = 8
