@@ -29,7 +29,11 @@ object Bench {
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
         else System.getProperty("java.io.tmpdir"))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the only output that matters here is the final
+    // one-line JSON record, and WARN floods (WindowExec's "No Partition
+    // Defined" fires for every intentional rank-the-k-survivors window
+    // over <= k rows) can crowd it out of a bounded log tail.
+    spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftExtensions.install(spark)
     // Steady-state warmup (JMH-style): run every query once at the tiny
     // scale factor so the timed run below measures query execution, not

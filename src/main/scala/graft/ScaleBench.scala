@@ -28,7 +28,13 @@ object ScaleBench {
     val names = if (args.nonEmpty) args.toSeq else defaults
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Partition sizing is PART of what this harness demonstrates: the
+      // sf0.1 bench's 32 shuffle partitions hold ~1.7M rows each on the
+      // big queries at sf1 and the first run thrashed the allocator
+      // (GCLocker retries, TaskMemoryManager page failures). 8× finer
+      // partitions keep each within memory at 10× data; AQE coalesces
+      // them back for the small queries, so nothing else changes.
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir",

@@ -193,7 +193,14 @@ object DedupText {
     })
 
   /** Blocked 3-gram Jaccard near-dup scan — brute-force within a `source`
-    * block (the blocking key bounds the pair count; SURVEY J2 shape). */
+    * block (the blocking key bounds the pair count; SURVEY J2 shape).
+    * Scale verdict (measured, BASELINE.md sf0.1→sf1): this is the EXACT
+    * verification rung — its output is quadratic in block size when the
+    * block key set is fixed (622k→62.5M pairs at 10× data), so at corpus
+    * scale the pair stream must come from the q34 MinHash ladder
+    * (measured sub-linear) with this kernel verifying only bucketed
+    * candidates. Kept as its own query because the fused SortedJaccard
+    * merge beats the DuckDB twin ~4× even while emitting 100× the rows. */
   private val q35 = GraftQuery(
     "q35_ngram_jaccard_blocked",
     (s, d) => {

@@ -93,47 +93,107 @@ object TokenizerOps {
   private val Rounds = 8
   private val DictSize = 200
 
+  /** The corpus word dict feeding training (shared by q117/q119). */
+  private def corpusDict(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(DictSize)
+
+  /** Shared oracle CTE chain: dict → char-encoded w0 → per-round
+    * (pair-count p_r, best-pair b_r, merged w_r). */
+  private def trainCtes: String = {
+    val dict =
+      """dict AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY w ORDER BY freq DESC, w LIMIT 200)"""
+    val w0 =
+      """w0 AS (SELECT freq,
+        ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+                 i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS s
+        FROM dict)"""
+    val roundCtes = (1 to Rounds).map { r =>
+      s"""p$r AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+          SELECT freq, tk[i] AS a, tk[i + 1] AS b FROM (
+            SELECT freq, tk, unnest(range(1, len(tk))) AS i FROM (
+              SELECT freq, string_split(trim(s), '  ') AS tk FROM w${r - 1})))
+        GROUP BY a, b),
+      b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+      w$r AS (SELECT freq,
+                replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s
+              FROM w${r - 1}, b$r)"""
+    }.mkString(",\n")
+    s"$dict,\n$w0,\n$roundCtes"
+  }
+
   /** q117 — BPE merge training over the documents corpus: word dict =
     * top-200 lowercase-alphabetic words by (freq DESC, word), then 8
     * merge rounds. The oracle is the same program as 8 chained CTE
     * layers (pair-count → best-pair → replace per layer). */
   private val q117 = GraftQuery(
     "q117_bpe_merge_training",
-    (s, d) => {
-      val dict = t(s, d, "documents")
-        .select(explode(split(lower(col("text")), " ")).as("w"))
-        .filter(col("w").rlike("^[a-z]+$"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("w")).limit(DictSize)
-      train(dict, Rounds)
-    },
+    (s, d) => train(corpusDict(s, d), Rounds),
     Some {
-      val dict =
-        """dict AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
-          FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-          WHERE regexp_matches(w, '^[a-z]+$')
-          GROUP BY w ORDER BY freq DESC, w LIMIT 200)"""
-      val w0 =
-        """w0 AS (SELECT freq,
-          ' ' || array_to_string(list_transform(range(1, len(w) + 1),
-                   i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS s
-          FROM dict)"""
-      val roundCtes = (1 to Rounds).map { r =>
-        s"""p$r AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-            SELECT freq, tk[i] AS a, tk[i + 1] AS b FROM (
-              SELECT freq, tk, unnest(range(1, len(tk))) AS i FROM (
-                SELECT freq, string_split(trim(s), '  ') AS tk FROM w${r - 1})))
-          GROUP BY a, b),
-        b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-        w$r AS (SELECT freq,
-                  replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s
-                FROM w${r - 1}, b$r)"""
-      }.mkString(",\n")
       val unions = (1 to Rounds)
         .map(r => s"SELECT CAST($r AS BIGINT) AS round, a, b, a || b AS merged, cnt FROM b$r")
         .mkString("\n UNION ALL ")
-      s"WITH $dict,\n$w0,\n$roundCtes\n$unions ORDER BY round"
+      s"WITH $trainCtes\n$unions ORDER BY round"
     })
 
-  val all: Seq[GraftQuery] = Seq(q117)
+  /** q119 — tokenize the corpus with the TRAINED tokenizer (the apply
+    * step every training pipeline runs after q117's learning step):
+    * each document is char-encoded with the same two-space scheme, words
+    * joined by THREE spaces — the pattern ` a  b ` requires exactly two
+    * interior spaces, so merges can never cross a word boundary — then
+    * the 8 learned merges replay IN LEARNED ORDER as narrow maps, and
+    * the output is each document's post-BPE token count plus its first
+    * five tokens. Scale: training reduces to the tiny dict as in q117;
+    * the apply pass is 8 chained per-row string maps over the corpus —
+    * no shuffle at all, rides whole-stage codegen. The oracle replays
+    * the SAME chain with the merges derived in SQL (b1..b8), so the
+    * learned-merge parity q117 checks directly gates this query too. */
+  private val q119 = GraftQuery(
+    "q119_bpe_tokenize_apply",
+    (s, d) => {
+      val merges = train(corpusDict(s, d), Rounds).collect()
+      val enc0 = t(s, d, "documents").select(col("doc_id"), expr(
+        """concat(' ', array_join(transform(split(text, ' '),
+             w -> array_join(transform(sequence(1, length(w)),
+                    i -> substr(w, i, 1)), '  ')), '   '), ' ')""").as("s"))
+      val applied = merges.foldLeft(enc0) { (cur, m) =>
+        val (a, b) = (m.getString(1), m.getString(2))
+        cur.withColumn("s", call_function("replace", col("s"),
+          lit(s" $a  $b "), lit(s" $a$b ")))
+      }
+      val toks = split(trim(col("s")), " {2,}")
+      applied.select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          array_join(slice(toks, 1, 5), "|").as("head_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val enc0 =
+        """enc0 AS (SELECT doc_id,
+          ' ' || array_to_string(list_transform(string_split(text, ' '),
+                   w -> array_to_string(list_transform(range(1, len(w) + 1),
+                          i -> substr(w, CAST(i AS INT), 1)), '  ')), '   ')
+              || ' ' AS s
+          FROM documents)"""
+      val applyCtes = (1 to Rounds).map { r =>
+        s"""a$r AS (SELECT doc_id,
+              replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s
+            FROM a${r - 1}, b$r)"""
+      }.mkString(",\n").replace("FROM a0,", "FROM enc0,")
+      s"""WITH $trainCtes,
+      $enc0,
+      $applyCtes
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(s), ' {2,}')) AS BIGINT) AS n_tokens,
+        array_to_string(string_split_regex(trim(s), ' {2,}')[1:5], '|') AS head_tokens
+      FROM a$Rounds ORDER BY doc_id"""
+    })
+
+  val all: Seq[GraftQuery] = Seq(q117, q119)
 }
