@@ -13,7 +13,11 @@ OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    # harness tables are single files; ScaleGen-derived snapshots are
+    # parquet directories -> glob the parts
+    path = f"{SF_DIR}/{t}.parquet"
+    src = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 with open(f"{OUT_DIR}/oracle_sql.json") as f:
     oracles = json.load(f)
