@@ -353,5 +353,70 @@ object CurationOps {
         CAST((SELECT count(*) FROM orders) AS BIGINT))
       ORDER BY check_name"""))
 
-  val all: Seq[GraftQuery] = Seq(q81, q82, q84, q85, q94)
+  /** q120 — SEMANTIC eval-set decontamination: flag training documents
+    * whose embedding is too close to any eval-set embedding (catches
+    * paraphrase/translation contamination that q85's n-gram overlap
+    * cannot — the standard second rung of a decontamination stack).
+    * Eval membership is the same deterministic id-hash split q85 uses
+    * (vec_id % 97), the eval side is TINY and broadcast, and scoring is
+    * the q105 fixed-point discipline: embeddings → round(e·1e6) int64,
+    * dot and norms are EXACT integer aggregates (64 · (5.8e5)² ≈ 2.2e13
+    * « 2⁶³), and the one double divide/sqrt consumes identical integers
+    * in both engines → bit-identical scores, so threshold membership and
+    * the emitted rounded score can never diverge (no float32 gap
+    * argument needed, unlike the raw-cosine queries). Scale: linear scan
+    * × broadcast eval set; at 100 TB prune candidates through the
+    * sign-LSH bucket probe first (q118's shape) — the scoring and
+    * flagging dataflow is unchanged. */
+  private val q120 = GraftQuery(
+    "q120_semantic_decontam",
+    (s, d) => {
+      val scale = 1000000L
+      val fx = transform(col("embedding"),
+        x => round(x.cast("double") * scale).cast("long"))
+      val ev = t(s, d, "embeddings")
+        .select(col("vec_id"), fx.as("e"))
+        .withColumn("nn", aggregate(transform(col("e"), x => x * x),
+          lit(0L), (acc, x) => acc + x).cast("double"))
+      val evals = ev.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("eid"), col("e").as("qe"), col("nn").as("qn"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("eid"))
+      ev.filter(col("vec_id") % 97 =!= 0)
+        .crossJoin(broadcast(evals))
+        .withColumn("score",
+          aggregate(zip_with(col("e"), col("qe"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).cast("double") /
+            sqrt(col("nn") * col("qn")))
+        .filter(col("score") >= 0.35)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("eid").as("eval_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH ev AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e
+        FROM embeddings),
+      ev2 AS (
+        SELECT vec_id, e,
+               CAST(list_sum(list_transform(range(1, len(e) + 1),
+                 i -> e[i] * e[i])) AS DOUBLE) AS nn
+        FROM ev),
+      q AS (SELECT vec_id AS eid, e AS qe, nn AS qn FROM ev2
+            WHERE vec_id % 97 = 0),
+      s AS (SELECT t.vec_id, eid,
+              CAST(list_sum(list_transform(range(1, len(e) + 1),
+                i -> e[i] * qe[i])) AS DOUBLE) / sqrt(nn * qn) AS score
+            FROM ev2 t, q WHERE t.vec_id % 97 <> 0),
+      f AS (SELECT vec_id, eid, score,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY score DESC, eid) AS rn
+            FROM s WHERE score >= 0.35)
+      SELECT vec_id, eid AS eval_id, round(score, 6) AS score
+      FROM f WHERE rn = 1 ORDER BY vec_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q81, q82, q84, q85, q94, q120)
 }

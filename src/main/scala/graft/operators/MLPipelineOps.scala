@@ -41,7 +41,10 @@ object MLPipelineOps {
         .select(col("doc_id"),
           (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % 64).as("bucket"))
       val tf = b.groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
-      val dfreq = b.groupBy(col("bucket")).agg(countDistinct(col("doc_id")).as("df"))
+      // document frequency DERIVES from tf (one row per distinct
+      // (doc, bucket)), so the corpus is exploded + hashed ONCE — the
+      // second scan was ~half this query's cost
+      val dfreq = tf.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
       tf.join(broadcast(dfreq), Seq("bucket"))
         .crossJoin(broadcast(nDf))
         .withColumn("wt",
@@ -259,16 +262,21 @@ object MLPipelineOps {
     (s, d) => {
       import graft.functions.TextFunctions.tokens
       // token → 8 dims from two md5 calls (32 hex chars = 4 dims of 8 hex
-      // each); values centered into [-500, 499]
-      def dim(tok: Column, i: Int): Column = {
-        val h = if (i < 4) md5(tok) else md5(concat(tok, lit("#2")))
+      // each); values centered into [-500, 499]. The two md5 strings are
+      // computed ONCE per token in the projection below the aggregation —
+      // inlining them into the 8 sum() expressions re-evaluated md5 up to
+      // 8× per token (codegen CSE does not span aggregate buffers).
+      def dim(i: Int): Column = {
+        val h = if (i < 4) col("h1") else col("h2")
         conv(substring(h, 1 + 8 * (i % 4), 8), 16, 10).cast("long") % 1000 - 500
       }
       val toks = t(s, d, "documents")
         .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+        .select(col("doc_id"), md5(col("tok")).as("h1"),
+          md5(concat(col("tok"), lit("#2"))).as("h2"))
       toks.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
-          (0 until 8).map(i => sum(dim(col("tok"), i)).as(s"e$i")): _*)
+          (0 until 8).map(i => sum(dim(i)).as(s"e$i")): _*)
         .orderBy(col("doc_id"))
     },
     Some {

@@ -287,4 +287,60 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("SortAggregate"), s"agg fell back to sort-based:\n$p")
   }
+
+  test("q109: full vocabulary never crosses an unpartitioned window — " +
+    "Window sits ABOVE TakeOrderedAndProject(100)") {
+    val f = formatted("q109_vocab_coverage")
+    assert(f.contains("TakeOrderedAndProject"), s"top-100 fell back to global sort:\n$f")
+    // the Window's child chain must contain the TakeOrderedAndProject, i.e.
+    // in the formatted tree the Window's step number is LOWER (closer to
+    // root) than the top-k's — windows only ever see the 100 survivors
+    val winStep = "\\((\\d+)\\)".r.findFirstMatchIn(
+      f.linesIterator.find(_.matches(".*[:+]- Window \\(\\d+\\)")).getOrElse(fail(f)))
+      .get.group(1).toInt
+    val topkStep = "\\((\\d+)\\)".r.findFirstMatchIn(
+      f.linesIterator.find(_.contains("TakeOrderedAndProject")).getOrElse(fail(f)))
+      .get.group(1).toInt
+    assert(winStep > topkStep,
+      s"Window (step $winStep) is BELOW the top-k (step $topkStep) — full vocab through one task:\n$f")
+    // the grand total is a scalar agg broadcast back, not a window
+    assert(f.contains("BroadcastNestedLoopJoin") || f.contains("BroadcastExchange"), f)
+  }
+
+  test("q118: hard negatives come from the broadcast sign-LSH probe, " +
+    "which caps the rank window's input") {
+    val p = planOf("q118_hard_negative_ann")
+    // probe keys and query set broadcast; candidate join is hash, not SMJ/cartesian
+    assert(p.contains("BroadcastHashJoin"), s"probe set not broadcast-joined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the probe path:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probe path fell back to SMJ:\n$p")
+    // the per-query rank runs as the partial+final TopKPerGroup exec keyed
+    // on q_id (the whole-operator Catalyst stack), never a global window
+    assert(p.contains("TopKPerGroup [q_id"), s"per-query rank lost TopKPerGroup:\n$p")
+  }
+
+  test("q117/q119: BPE apply is narrow maps over the corpus — no shuffle " +
+    "after the scan in the tokenize pass") {
+    val p = planOf("q119_bpe_tokenize_apply")
+    // the apply chain itself (post-training) is projections over one scan
+    // + the final output sort; candidate shuffles would show as joins
+    assert(!p.contains("Join"), s"tokenize apply introduced a join:\n$p")
+    assert(p.contains("Scan parquet"), p)
+  }
+
+  test("ed-join auto-selection: brute stays a single-stage join under the " +
+    "ceiling, PassJoin segments above it") {
+    import org.apache.spark.sql.functions.col
+    val c = Tables.t(spark, sf, "customer").select(col("c_custkey"), col("c_name"))
+    val brute = operators.EditDistanceJoin
+      .bruteForceSelfJoin(c, "c_custkey", "c_name", 1)
+      .queryExecution.executedPlan.toString
+    assert(brute.contains("BroadcastNestedLoopJoin"),
+      s"brute path lost its broadcast nested loop:\n$brute")
+    val pass = operators.EditDistanceJoin
+      .selfJoinK1(c, "c_custkey", "c_name")
+      .queryExecution.executedPlan.toString
+    assert(!pass.contains("NestedLoop") && !pass.contains("CartesianProduct"),
+      s"PassJoin degenerated to pair scanning:\n$pass")
+  }
 }
