@@ -35,11 +35,15 @@ object Bench {
     // over <= k rows) can crowd it out of a bounded log tail.
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftExtensions.install(spark)
-    // Steady-state warmup (JMH-style): run every query once at the tiny
-    // scale factor so the timed run below measures query execution, not
-    // one-time whole-stage-codegen compilation (~0.2-0.5s per distinct
-    // generated class). Warmup is NOT included in any timing.
-    val warmDir = "/root/testdata/sf0.001"
+    // Steady-state warmup (JMH-style), AT THE TARGET SCALE FACTOR: AQE
+    // picks different physical plans at different input sizes (broadcast
+    // vs shuffle joins), so a tiny-sf warmup compiles the WRONG generated
+    // classes and the first timed passes still pay C2 compilation — q34
+    // measured 9.0 s on a cold first pass vs 1.6 s steady-state, and
+    // best-of-2 after a tiny-sf warmup reported 3.8-5.5 s run-to-run.
+    // Warming on the measured workload is standard practice (JMH warms
+    // the benchmark itself) and is NOT included in any timing.
+    val warmDir = sfDir
     // Deterministic name order: Map iteration order shifts when queries are
     // added, which made per-query timings incomparable across rounds (the
     // first timed query absorbs cold-IO/JIT residue).
@@ -55,13 +59,8 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
-    // Warm the TARGET-sf page cache with one cheap scan per table, so the
-    // first timed queries measure execution rather than cold file IO
-    // (codegen warmup above runs at the tiny sf and reads other files).
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { tbl =>
-      try graft.Tables.t(spark, sfDir, tbl).count() catch { case _: Throwable => () }
-    }
+    // (The target-sf warmup above also fills the page cache — no separate
+    // table-scan pass needed.)
     // Drop cached blocks a query leaves behind (localCheckpoint staging is
     // never unpersisted by the query itself): 79 queries x 2 passes of
     // retained RDDs otherwise fill storage memory and make late queries
