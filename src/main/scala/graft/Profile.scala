@@ -15,6 +15,15 @@ object Profile {
     }
     val sfDir = opt("--sf", "/root/testdata/sf0.1")
     val iters = opt("--iters", "2").toInt
+    // tmpfs hygiene, same as Bench: stale shuffle files from killed runs
+    // otherwise accumulate in RAM-backed /dev/shm
+    def rmTree(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles).getOrElse(Array.empty).foreach(rmTree)
+      p.delete(): Unit
+    }
+    val shmDir = new java.io.File("/dev/shm/graft-bench")
+    if (shmDir.exists) rmTree(shmDir)
+    sys.addShutdownHook(if (shmDir.exists) rmTree(shmDir))
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -31,7 +40,10 @@ object Profile {
       // let ContextCleaner reclaim shuffle files/broadcasts (same as Bench)
       System.gc()
     }
-    val warmDir = "/root/testdata/sf0.001"
+    // warm at the TARGET sf (same rationale as Bench: AQE picks different
+    // plans per input size, so a tiny-sf warmup compiles the wrong
+    // generated classes and the first timed pass pays C2 compilation)
+    val warmDir = sfDir
     // Full materialization, same as Bench: .count() would prune
     // projections and eliminate sorts, hiding per-row compute.
     def exec(df: org.apache.spark.sql.DataFrame): Long =

@@ -1,7 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** Throwaway dev probe: dump ONE registry query + its oracle for
-  * tools/check_oracle.py. Deleted before commit. */
+/** Dev tool: dump ONE registry query's result + its oracle SQL in the
+  * layout tools/check_oracle.py expects — the fast targeted-correctness
+  * loop while iterating on a single query (the full Verify run is the
+  * gate; this is the inner loop). */
 object QProbe {
   def main(args: Array[String]): Unit = {
     val Array(qname, sfDir, outDir) = args

@@ -129,4 +129,42 @@ class ScaleSpec extends SparkSpec {
       assert(j.agg(sum("count")).head().getLong(0) == expected)
     }
   }
+
+  test("ScaleGen invariants: replica 0 byte-identical, cipher preserves " +
+    "lengths/frequencies, replicas share no vocabulary") {
+    val out = java.nio.file.Files.createTempDirectory("scalegen-test").toString
+    ScaleGen.generate(spark, sf, out, reps = 3)
+    val src = Tables.t(spark, sf, "documents")
+    val gen = spark.read.parquet(s"$out/documents.parquet")
+    val n = src.count()
+    assert(gen.count() == 3 * n, "row count must be reps x source")
+    // replica 0 byte-identical to the source
+    assert(gen.filter(col("doc_id") < n).exceptAll(src).isEmpty)
+    // cipher preserves text lengths exactly (substitution, not insertion)
+    val lenMismatch = gen.filter(length(col("text")) =!= col("n_chars")).count()
+    assert(lenMismatch == 0, "alphabet rotation changed a text length")
+    // per-replica word-frequency PROFILE identical: the multiset of
+    // word-frequency counts is invariant under a vocabulary bijection
+    def freqProfile(repLo: Long, repHi: Long): Seq[(Long, Long)] = gen
+      .filter(col("doc_id") >= repLo && col("doc_id") < repHi)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).count()
+      .groupBy(col("count")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(freqProfile(0, n) == freqProfile(n, 2 * n),
+      "replica 1 lost the source Zipf profile")
+    // replicas share no vocabulary (the property that keeps content-keyed
+    // operators linear instead of quadratic in the replica count)
+    val shared = gen.filter(col("doc_id") < n)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .intersect(gen.filter(col("doc_id") >= n && col("doc_id") < 2 * n)
+        .select(explode(split(col("text"), " ")).as("w")).distinct())
+      .count()
+    assert(shared == 0, s"replicas share $shared words")
+    // keys shift consistently: every replica joins within itself
+    val ords = spark.read.parquet(s"$out/orders.parquet")
+    val custs = spark.read.parquet(s"$out/customer.parquet")
+    val orphan = ords.join(custs, ords("o_custkey") === custs("c_custkey"), "left_anti").count()
+    assert(orphan == 0, s"$orphan orders reference customers outside their replica")
+  }
 }
