@@ -106,6 +106,34 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall $recall")
   }
 
+  test("q118 mined negatives are GENUINELY hard: every one sits in the " +
+    "exhaustive top-5% of its query's anti-label candidates") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions._
+    // q118's contract is NOT top-3 recall (contrastive training needs
+    // similar-but-wrong examples, not the argmax): assert each probed
+    // negative's EXHAUSTIVE rank instead. Measured: worst rank 13-23 of
+    // 447-1791 candidates across sf0.001-0.1 (top 1.3-5%), median 5-8.
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    val exhaustive = emb.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("score", cosine(col("embedding"), col("qvec")))
+      .withColumn("xrank", row_number().over(w))
+      .select(col("q_id"), col("vec_id").as("neg_id"), col("xrank"))
+    val mined = QueryRegistry.byName("q118_hard_negative_ann").fn(spark, sf)
+      .select(col("q_id"), col("neg_id"))
+    assert(mined.count() == 15, "expected top-3 for each of 5 queries")
+    val worst = mined.join(exhaustive, Seq("q_id", "neg_id"))
+      .agg(max(col("xrank"))).head().getInt(0)
+    val candidatesPerQuery = exhaustive.count() / 5
+    assert(worst <= math.max(32, candidatesPerQuery / 20),
+      s"mined negative at exhaustive rank $worst of $candidatesPerQuery — not hard")
+  }
+
   test("q64 batch decode covers every document exactly once") {
     val df = QueryRegistry.byName("q64_multimodal_batch_decode").fn(spark, sf)
     assert(df.count() == Tables.t(spark, sf, "documents").count())
