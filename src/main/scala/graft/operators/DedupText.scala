@@ -128,69 +128,130 @@ object DedupText {
     * (md5-derived hashes are engine-portable). The band bucket is the
     * shuffle key: at 100 TB this is a plain hash-partitioned equi-join,
     * never an all-pairs scan. */
-  private val q34 = GraftQuery(
-    "q34_minhash_lsh_pairs",
-    (s, d) => {
-      // Stage 1: packed 62-bit shingle hashes — one long per shingle
-      // instead of the shingle string, so whole-stage codegen CSE derives
-      // the md5 chain once per row per stage and downstream stages
-      // (signatures, jaccard verify on both sides) carry 8-byte longs, not
-      // strings. Recompute-per-side, no caching: the earlier localCheckpoint
-      // staging paid an eager serialization job up front (and its retained
-      // blocks skewed later bench queries); a lazy Dataset.persist leaks
-      // CacheManager entries that RDD-level unpersist can't drop (measured:
-      // per-run time doubled run over run). At 100 TB the equivalent choice
-      // is writing the packed-hash table to storage once vs recomputing a
-      // cheap narrow map — the shingle+md5 map is ~3% of the query's work,
-      // so recompute wins at any scale.
-      val base = docShingles(s, d)
-        .select(col("doc_id"), packedHashes(col("sg")).as("hs"))
-      val mhCols = (0 until NumHashes).map(k => minHashPacked(col("hs"), k).as(s"mh$k"))
-      val mh = base.select(col("doc_id") +: mhCols: _*)
-      val bandStructs = (0 until NumBands).map { b =>
-        struct(lit(b).as("band"),
-          bandKey((0 until NumHashes).map(k => col(s"mh$k")), b).as("bkey"))
-      }
-      // Band signatures are cheap arithmetic over the staged hashes —
-      // recomputing them on each self-join side beats a second
-      // materialization (measured at sf0.1)
-      val bands = mh
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      val sa = base.select(col("doc_id").as("a_id"), col("hs").as("hsa"))
-      val sb = base.select(col("doc_id").as("b_id"), col("hs").as("hsb"))
-      cand.join(sa, "a_id").join(sb, "b_id")
-        .select(col("a_id"), col("b_id"),
-          round(size(array_intersect(col("hsa"), col("hsb"))).cast("double") /
-            size(array_union(col("hsa"), col("hsb"))), 6).as("jaccard"))
-        .orderBy(col("a_id"), col("b_id"))
-    },
-    Some {
-      val mhExprs = (0 until NumHashes).map(k => minHashPackedSql("hs", k))
-      val mhSelect = mhExprs.zipWithIndex
-        .map { case (e, k) => s"$e AS mh$k" }.mkString(", ")
-      val bandSelects = (0 until NumBands).map { b =>
-        s"SELECT doc_id, $b AS band, ${bandKeySql((0 until NumHashes).map(k => s"mh$k"), b)} AS bkey FROM mh"
-      }.mkString(" UNION ALL ")
-      s"""WITH $shSqlCte,
+  /** The shingle→minhash→band→bucket-join→jaccard-verify pipeline,
+    * reusable by q34 (pair inventory) and q121 (canonical dedup apply).
+    * Returns (a_id, b_id, jaccard), unordered.
+    *
+    * Stage 1: packed 62-bit shingle hashes — one long per shingle
+    * instead of the shingle string, so whole-stage codegen CSE derives
+    * the md5 chain once per row per stage and downstream stages
+    * (signatures, jaccard verify on both sides) carry 8-byte longs, not
+    * strings. Recompute-per-side, no caching: the earlier localCheckpoint
+    * staging paid an eager serialization job up front (and its retained
+    * blocks skewed later bench queries); a lazy Dataset.persist leaks
+    * CacheManager entries that RDD-level unpersist can't drop (measured:
+    * per-run time doubled run over run). At 100 TB the equivalent choice
+    * is writing the packed-hash table to storage once vs recomputing a
+    * cheap narrow map — the shingle+md5 map is ~3% of the query's work,
+    * so recompute wins at any scale. */
+  private[operators] def minHashPairs(s: SparkSession, d: String): DataFrame = {
+    val base = docShingles(s, d)
+      .select(col("doc_id"), packedHashes(col("sg")).as("hs"))
+    val mhCols = (0 until NumHashes).map(k => minHashPacked(col("hs"), k).as(s"mh$k"))
+    val mh = base.select(col("doc_id") +: mhCols: _*)
+    val bandStructs = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        bandKey((0 until NumHashes).map(k => col(s"mh$k")), b).as("bkey"))
+    }
+    // Band signatures are cheap arithmetic over the staged hashes —
+    // recomputing them on each self-join side beats a second
+    // materialization (measured at sf0.1)
+    val bands = mh
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sa = base.select(col("doc_id").as("a_id"), col("hs").as("hsa"))
+    val sb = base.select(col("doc_id").as("b_id"), col("hs").as("hsb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("hsa"), col("hsb"))).cast("double") /
+          size(array_union(col("hsa"), col("hsb"))), 6).as("jaccard"))
+  }
+
+  /** The matching oracle CTE chain ending in scored `pairs(a_id, b_id,
+    * jaccard)` — shared by the q34/q121 twins. */
+  private[operators] def minHashPairsSqlCtes: String = {
+    val mhExprs = (0 until NumHashes).map(k => minHashPackedSql("hs", k))
+    val mhSelect = mhExprs.zipWithIndex
+      .map { case (e, k) => s"$e AS mh$k" }.mkString(", ")
+    val bandSelects = (0 until NumBands).map { b =>
+      s"SELECT doc_id, $b AS band, ${bandKeySql((0 until NumHashes).map(k => s"mh$k"), b)} AS bkey FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""$shSqlCte,
       hss AS (SELECT doc_id, ${packedHashesSql("sg")} AS hs FROM sh),
       mh AS (SELECT doc_id, $mhSelect FROM hss),
       bands AS ($bandSelects),
       cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                FROM bands x JOIN bands y
-                 ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-      SELECT a_id, b_id,
+                 ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      pairs AS (SELECT a_id, b_id,
         round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
               / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
-      FROM cand JOIN hss sa ON a_id = sa.doc_id JOIN hss sb ON b_id = sb.doc_id
-      ORDER BY a_id, b_id"""
-    })
+      FROM cand JOIN hss sa ON a_id = sa.doc_id JOIN hss sb ON b_id = sb.doc_id)"""
+  }
+
+  private val q34 = GraftQuery(
+    "q34_minhash_lsh_pairs",
+    (s, d) => minHashPairs(s, d).orderBy(col("a_id"), col("b_id")),
+    Some(s"""WITH $minHashPairsSqlCtes
+      SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id"""))
+
+  /** q121 — near-dup dedup APPLY: the step after detection (q34) and
+    * clustering (q81) that a curation pipeline actually ships — pick ONE
+    * canonical survivor per near-dup cluster and emit the deduplicated
+    * corpus. Edges are the MinHash-verified pairs at jaccard >= 0.5,
+    * components resolve by min-id label propagation (the component label
+    * IS the canonical min doc_id, so survivors are exactly the rows
+    * whose id equals their component), and each survivor reports how
+    * many near-dups it absorbed. Scale: the pair stage is the bucketed
+    * q34 pipeline (never all-pairs, measured sub-linear in BASELINE.md),
+    * clustering is the Pregel-style loop with O(log diameter)
+    * supersteps; near-dup graphs are tiny relative to the corpus.
+    * Oracle: same CTEs + a recursive-CTE closure (tractable at oracle
+    * scale because the edge set is small; the q81 note about closure
+    * cost at sf0.1 applies to its dense customer graph, not here). */
+  private val q121 = GraftQuery(
+    "q121_dedup_canonical",
+    (s, d) => {
+      // Materialize the (tiny) edge table ONCE: the propagation loop
+      // references edges every superstep, and without the checkpoint each
+      // superstep re-runs the whole MinHash pipeline upstream of it
+      // (measured: 3 supersteps × ~1.5 s of re-derivation).
+      val edges = minHashPairs(s, d).filter(col("jaccard") >= 0.5)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .localCheckpoint()
+      // The label-propagation loop runs ONLY over nodes that touch an
+      // edge — everything else is a singleton (its own canonical) by
+      // definition. The near-dup subgraph is tiny relative to the corpus
+      // at every scale; running supersteps over 100 TB of singletons
+      // would be pure waste (measured here: 3.5 s → ~2 s at sf0.1).
+      val endpoints = edges.select(col("src").as("key"))
+        .union(edges.select(col("dst").as("key"))).distinct()
+      val clustered = CurationOps.connectedComponents(endpoints, edges)
+        .groupBy(col("comp"))
+        .agg((count(lit(1)) - 1).cast("long").as("n_dups_merged"))
+        .select(col("comp").as("doc_id"), col("n_dups_merged"))
+      val singles = t(s, d, "documents").select(col("doc_id"))
+        .join(endpoints, col("doc_id") === col("key"), "left_anti")
+        .select(col("doc_id"), lit(0L).as("n_dups_merged"))
+      clustered.unionAll(singles).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $minHashPairsSqlCtes,
+      dedges AS (SELECT a_id AS src, b_id AS dst FROM pairs WHERE jaccard >= 0.5
+                 UNION ALL
+                 SELECT b_id, a_id FROM pairs WHERE jaccard >= 0.5),
+      r(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM r JOIN dedges e ON r.b = e.src),
+      comps AS (SELECT a AS key, min(b) AS comp FROM r GROUP BY a)
+      SELECT comp AS doc_id, CAST(count(*) - 1 AS BIGINT) AS n_dups_merged
+      FROM comps GROUP BY comp ORDER BY doc_id"""))
 
   /** Blocked 3-gram Jaccard near-dup scan — brute-force within a `source`
     * block (the blocking key bounds the pair count; SURVEY J2 shape).
@@ -578,5 +639,5 @@ object DedupText {
       ORDER BY score_micro DESC, doc_id LIMIT 20"""))
 
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q57, q66, q68, q69, q71, q72, q75, q90)
+    q38, q57, q66, q68, q69, q71, q72, q75, q90, q121)
 }
