@@ -24,7 +24,8 @@ object ScaleBench {
       "q111_repeated_spans", "q106_curation_pipeline_e2e",
       "q81_dedup_components", "q117_bpe_merge_training",
       "q118_hard_negative_ann", "q20_vector_topk", "q01_pricing_summary",
-      "q08_running_sum_per_user")
+      "q08_running_sum_per_user", "q119_bpe_tokenize_apply",
+      "q120_semantic_decontam", "q121_dedup_canonical")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
