@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -421,14 +421,36 @@ object Relational {
   /** Exact interpolated percentiles per group — Spark `percentile` and
     * DuckDB `quantile_cont` share linear-interpolation semantics; outputs
     * rounded to 4dp to absorb the one interpolation op's last-ulp drift. */
+  /** Exact interpolated percentiles via SORT-BASED rank selection, not
+    * the `percentile()` aggregate: Spark's exact Percentile buffers an
+    * OpenHashMap of every distinct group value in the agg buffer — an
+    * OOM hazard once a single group holds ~1e8+ distinct values, which
+    * is exactly the 100 TB shape. The window sort path spills through
+    * UnsafeExternalSorter instead, and the groupBy reuses the window's
+    * hash partitioning (ONE shuffle total). Interpolation reproduces
+    * Percentile.getPercentile's exact IEEE form — lower + (higher -
+    * lower)·frac over the two bracketing ranks — which is what the
+    * DuckDB quantile_cont twin already hash-matched against. */
   private val q55 = GraftQuery(
     "q55_percentiles",
     (s, d) => {
-      t(s, d, "orders")
-        .groupBy(col("o_orderstatus"))
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("v"))
+      val wn = Window.partitionBy(col("o_orderstatus"))
+      val ranked = t(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice").cast("double").as("v"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      def pct(p: Double): Column = {
+        val pos = (col("n") - 1).cast("double") * p
+        val f = floor(pos)
+        val vf = max(when(col("rn") === f + 1, col("v")))
+        val vc = max(when(col("rn") === ceil(pos) + 1, col("v")))
+        // coalesce: when pos is integral, ceil row == floor row and the
+        // frac term is exactly 0 — vf alone is the answer
+        vf + (coalesce(vc, vf) - vf) * max(pos - f)
+      }
+      ranked.groupBy(col("o_orderstatus"))
+        .agg(round(pct(0.5), 4).as("p50"), round(pct(0.9), 4).as("p90"),
           count(lit(1)).as("cnt"))
         .orderBy(col("o_orderstatus"))
     },
