@@ -4,16 +4,6 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // tmpfs shuffle dir hygiene: shuffle files left by a crashed/killed run
-    // persist in RAM-backed /dev/shm across invocations and can exhaust
-    // shared memory. Clear ours before the session starts and again at exit.
-    def rmTree(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles).getOrElse(Array.empty).foreach(rmTree)
-      p.delete(): Unit
-    }
-    val shmDir = new java.io.File("/dev/shm/graft-bench")
-    if (shmDir.exists) rmTree(shmDir)
-    sys.addShutdownHook(if (shmDir.exists) rmTree(shmDir))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,10 +14,8 @@ object Bench {
       // writeback storm; CPU-bound queries unaffected). A real cluster
       // puts shuffle on local NVMe — tmpfs is the single-node analog,
       // not a cheat: both passes of every query still write/read every
-      // shuffle byte.
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
-        else System.getProperty("java.io.tmpdir"))
+      // shuffle byte. Per-PID dir + dead-sibling sweep: see ShmDir.
+      .config("spark.local.dir", ShmDir.claim("graft-bench"))
       .getOrCreate()
     // ERROR, not WARN: the only output that matters here is the final
     // one-line JSON record, and WARN floods (WindowExec's "No Partition
@@ -89,7 +77,25 @@ object Bench {
       dropCached()
       name -> dt
     }
+    // Calibration probe: a FIXED-WORK in-memory aggregation (no IO, no
+    // shuffle — pure codegen'd CPU across all cores) timed before and
+    // after the measured passes. Its nominal time is a property of the
+    // machine, not the data, so a contended run exposes itself IN THE
+    // RECORD: r4's driver artifact read 137s for an engine that measures
+    // 87-94s, and nothing in the artifact could tell. Bounds documented
+    // in BASELINE.md: calib ≈ 0.25-0.45s on this box idle; > ~0.7s means
+    // the run was contended and the totals overstate the engine.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id * 3 + 7) AS s")
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // codegen warmup for the probe itself, untimed
+    val calibStart = calibrate()
     val passes = Seq(onePass(), onePass())
+    val calibEnd = calibrate()
     val results = ordered.map(_._1).map { name =>
       val ts = passes.map(_.toMap.apply(name))
       val ok = ts.filter(_ >= 0)
@@ -100,18 +106,23 @@ object Bench {
     // shipped full-precision doubles and the line was front-truncated →
     // BENCH parsed:null). Belt and braces: also write the line to a file.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val qs = qmap(results)
     val total = results.map(_._2).sum
-    // Full per-query map goes to the file only: with 79 queries the one-line
-    // form exceeds the driver's bounded stdout-tail window and the line gets
-    // front-truncated → BENCH parsed:null (rounds 1 and 2). Stdout carries a
-    // short self-contained record the tail capture can always hold.
+    val calib = s""""calibration":{"start":${f3(calibStart)},"end":${f3(calibEnd)}}"""
+    // Full per-query map + BOTH raw passes go to the file only: with 100+
+    // queries the one-line form exceeds the driver's bounded stdout-tail
+    // window and the line gets front-truncated → BENCH parsed:null (rounds
+    // 1 and 2). Stdout carries a short self-contained record the tail
+    // capture can always hold. Raw passes let a reader attribute a bad
+    // total to a single contended pass instead of guessing (r3's per-query
+    // driver detail was lost; r4's couldn't separate pass-level noise).
     val fileLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":2,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":2,$calib,"queries":$qs,"passes":[${qmap(passes(0))},${qmap(passes(1))}],"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fileLine + "\n")
     val stdoutLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":2,"n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":2,$calib,"n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
     spark.stop()
     // sole final stdout line (after spark.stop so no shutdown noise follows)
     println(stdoutLine)

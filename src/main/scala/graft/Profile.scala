@@ -15,23 +15,13 @@ object Profile {
     }
     val sfDir = opt("--sf", "/root/testdata/sf0.1")
     val iters = opt("--iters", "2").toInt
-    // tmpfs hygiene, same as Bench: stale shuffle files from killed runs
-    // otherwise accumulate in RAM-backed /dev/shm
-    def rmTree(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles).getOrElse(Array.empty).foreach(rmTree)
-      p.delete(): Unit
-    }
-    val shmDir = new java.io.File("/dev/shm/graft-bench")
-    if (shmDir.exists) rmTree(shmDir)
-    sys.addShutdownHook(if (shmDir.exists) rmTree(shmDir))
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       // tmpfs shuffle dirs, same rationale as Bench (VM-disk writeback
-      // storms inflate shuffle-heavy queries 2-3x at random)
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
-        else System.getProperty("java.io.tmpdir"))
+      // storms inflate shuffle-heavy queries 2-3x at random); per-PID dir
+      // so a concurrent Bench/Profile can't delete this run's files.
+      .config("spark.local.dir", ShmDir.claim("graft-bench"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)

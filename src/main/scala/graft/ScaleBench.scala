@@ -38,9 +38,10 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions", (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-scale"
-        else System.getProperty("java.io.tmpdir"))
+      // per-PID tmpfs dir with entry/exit cleanup (ShmDir): the old fixed
+      // graft-scale dir was never cleaned, so stale shuffle files from
+      // killed runs accumulated in RAM-backed tmpfs.
+      .config("spark.local.dir", ShmDir.claim("graft-scale"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
@@ -50,9 +51,15 @@ object ScaleBench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
     }
-    // codegen warmup at the tiny sf
+    // Warm each query at BOTH measured scale factors (excluded from
+    // timing): AQE picks different physical plans per input size, so a
+    // tiny-sf warmup compiles the WRONG generated classes and the first
+    // timed pass pays C2 compilation (q34: 9.0 s cold vs 1.6 s steady) —
+    // asymmetrically across the small/big runs, skewing the very ratios
+    // this tool exists to measure. Same target-sf rationale as Bench.
     names.foreach { n =>
-      try exec(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }
+      try exec(n, smallDir) catch { case _: Throwable => () }
+      try exec(n, bigDir) catch { case _: Throwable => () }
     }
     dropCached()
     def time(name: String, dir: String): Double = {

@@ -1,0 +1,39 @@
+package graft
+
+/** RAM-backed (tmpfs) shuffle-dir management shared by the bench mains
+  * (Bench / Profile / ScaleBench). Each process claims its OWN directory
+  * (`/dev/shm/<prefix>-<pid>`) so one run starting or exiting can never
+  * delete a concurrent run's live shuffle files — the failure mode of the
+  * old shared `/dev/shm/graft-bench`: a Bench startup mid-Profile-query
+  * deleted the live run's shuffle files and failed its tasks. Stale
+  * siblings left by crashed/killed runs are swept only when the PID in
+  * their name is no longer alive (mtime is NOT a safe liveness signal: a
+  * long-lived run's top-level dir mtime goes stale while its blockmgr
+  * subdirs stay hot).
+  */
+object ShmDir {
+  private def rmTree(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles).getOrElse(Array.empty).foreach(rmTree)
+    p.delete(): Unit
+  }
+
+  /** Claim `/dev/shm/<prefix>-<pid>` (registering exit cleanup) and sweep
+    * dead siblings — including the legacy un-suffixed `<prefix>` dir no
+    * live process uses anymore. Returns the `spark.local.dir` value;
+    * falls back to java.io.tmpdir when /dev/shm is absent. */
+  def claim(prefix: String): String = {
+    val base = new java.io.File("/dev/shm")
+    if (!base.isDirectory) return System.getProperty("java.io.tmpdir")
+    Option(base.listFiles).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      val stale =
+        n == prefix || (n.startsWith(prefix + "-") &&
+          n.stripPrefix(prefix + "-").toLongOption
+            .exists(pid => !ProcessHandle.of(pid).isPresent))
+      if (stale) rmTree(f)
+    }
+    val mine = new java.io.File(base, s"$prefix-${ProcessHandle.current().pid()}")
+    sys.addShutdownHook(if (mine.exists) rmTree(mine))
+    mine.getAbsolutePath
+  }
+}

@@ -158,10 +158,17 @@ object TokenizerOps {
     "q119_bpe_tokenize_apply",
     (s, d) => {
       val merges = train(corpusDict(s, d), Rounds).collect()
+      // empty-word guard (same hazard pairCounts guards): split(text,' ')
+      // emits '' for consecutive/leading/trailing spaces, and Spark's
+      // sequence(1, 0) is DESCENDING ([1,0]) — an unguarded '' would
+      // encode as two empty substrings joined by '  ' while DuckDB's
+      // range(1,1) yields ''. Whitespace-only today, but divergent the
+      // moment the encoding or the split regex changes.
       val enc0 = t(s, d, "documents").select(col("doc_id"), expr(
         """concat(' ', array_join(transform(split(text, ' '),
-             w -> array_join(transform(sequence(1, length(w)),
-                    i -> substr(w, i, 1)), '  ')), '   '), ' ')""").as("s"))
+             w -> CASE WHEN length(w) = 0 THEN ''
+                  ELSE array_join(transform(sequence(1, length(w)),
+                         i -> substr(w, i, 1)), '  ') END), '   '), ' ')""").as("s"))
       val applied = merges.foldLeft(enc0) { (cur, m) =>
         val (a, b) = (m.getString(1), m.getString(2))
         cur.withColumn("s", call_function("replace", col("s"),
@@ -177,8 +184,9 @@ object TokenizerOps {
       val enc0 =
         """enc0 AS (SELECT doc_id,
           ' ' || array_to_string(list_transform(string_split(text, ' '),
-                   w -> array_to_string(list_transform(range(1, len(w) + 1),
-                          i -> substr(w, CAST(i AS INT), 1)), '  ')), '   ')
+                   w -> CASE WHEN len(w) = 0 THEN ''
+                        ELSE array_to_string(list_transform(range(1, len(w) + 1),
+                               i -> substr(w, CAST(i AS INT), 1)), '  ') END), '   ')
               || ' ' AS s
           FROM documents)"""
       val applyCtes = (1 to Rounds).map { r =>
