@@ -51,8 +51,24 @@ object PipelineOps {
 
   /** Ratcliff/Obershelp fuzzy pairs over part names within a brand block —
     * drives the custom StringRatio codegen expression at query level.
-    * difflib semantics have no DuckDB twin (SURVEY F8) → rows-only; the
-    * expression itself is pinned to difflib goldens in FunctionsSpec. */
+    *
+    * Oracle (closes the long-standing rows-only gap): the SQL twin
+    * re-implements difflib's SequenceMatcher EXACTLY in DuckDB — candidates
+    * are bounded first by a Levenshtein prefilter (ratio >= 0.85 implies
+    * lev <= la+lb-2M <= 0.15*(la+lb), since unit-cost lev <= la+lb-2*LCS
+    * and LCS >= R/O's matched total; +1 margin for the rounding edge),
+    * then a recursive CTE replays the R/O recursion per candidate pair:
+    * equal-char cells -> maximal diagonal runs (gaps-and-islands: a run
+    * START is a cell whose previous diagonal cell mismatches or sits on
+    * the window edge), difflib's tie-break encoded as arg_min over
+    * (-len, end_i, start_j) — the first maximal block in (i, j) scan
+    * order, exactly find_longest_match's strictly-greater update — and
+    * each level emits the matched length plus the left/right sub-windows.
+    * ratio = (2.0 * M) / (la + lb) is the same int/int double in the same
+    * operation order as both difflib and StringRatio.scala — bit-exact,
+    * no rounding needed (verified: all survivors byte-identical at
+    * sf0.01). The expression is additionally pinned to difflib goldens in
+    * FunctionsSpec. */
   private val q46 = GraftQuery(
     "q46_ratcliff_fuzzy_pairs",
     (s, d) => {
@@ -67,21 +83,78 @@ object PipelineOps {
         col("p_name").as("b_name"))
       a.join(b, Seq("p_brand", "p_type"))
         .filter(col("a_key") < col("b_key"))
-        // Pre-filter at a slightly looser literal threshold: this matches
-        // StringRatioBoundRule's `string_ratio >= lit` pattern (the round()
-        // in the output column blocks it), so the optimizer swaps in
+        // The literal-threshold filter matches StringRatioBoundRule's
+        // `string_ratio >= lit` pattern, so the optimizer swaps in
         // StringRatioGte and difflib's real_quick/quick bounds refute most
-        // pairs without the O(n·m) DP. round(x,6) >= 0.85 ⟹ x > 0.8499,
-        // so the exact rounded filter below sees identical survivors.
-        .filter(string_ratio(lower(col("a_name")), lower(col("b_name"))) >= 0.8499)
+        // pairs without the O(n·m) DP; survivors recompute the full ratio.
+        .filter(string_ratio(lower(col("a_name")), lower(col("b_name"))) >= 0.85)
         .withColumn("ratio",
-          round(string_ratio(lower(col("a_name")), lower(col("b_name"))), 6))
-        .filter(col("ratio") >= 0.85)
+          string_ratio(lower(col("a_name")), lower(col("b_name"))))
         .select(col("p_brand"), col("a_key"), col("b_key"), col("ratio"))
         .orderBy(col("p_brand"), col("a_key"), col("b_key"))
     },
-    None,
-    note = "Ratcliff/Obershelp has no SQL twin; pinned to difflib in tests")
+    Some("""WITH RECURSIVE
+      cand AS (
+        SELECT a.p_brand, a.p_partkey AS a_key, b.p_partkey AS b_key,
+               lower(a.p_name) AS sa, lower(b.p_name) AS sb,
+               len(a.p_name) AS la, len(b.p_name) AS lb
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(lower(a.p_name), lower(b.p_name))
+              <= CAST(floor(0.15 * (len(a.p_name) + len(b.p_name))) AS INT) + 1
+      ),
+      seg AS (
+        SELECT a_key, b_key, sa, sb,
+               1 AS alo, CAST(la + 1 AS INT) AS ahi,
+               1 AS blo, CAST(lb + 1 AS INT) AS bhi, 0 AS k
+        FROM cand
+        UNION ALL
+        SELECT a_key, b_key, sa, sb,
+               CAST(c.r['alo'] AS INT), CAST(c.r['ahi'] AS INT),
+               CAST(c.r['blo'] AS INT), CAST(c.r['bhi'] AS INT),
+               CAST(c.r['k'] AS INT)
+        FROM (
+          SELECT a_key, b_key, sa, sb, alo, ahi, blo, bhi,
+                 arg_min(i,  -k2 * 1000000 + (i + k2 - 1) * 1000 + j) AS bi,
+                 arg_min(j,  -k2 * 1000000 + (i + k2 - 1) * 1000 + j) AS bj,
+                 arg_min(k2, -k2 * 1000000 + (i + k2 - 1) * 1000 + j) AS bk
+          FROM (
+            SELECT sij.*,
+              CAST(coalesce(
+                list_min(list_filter(range(0, least(ahi - i, bhi - j)),
+                  d -> substr(sa, CAST(i + d AS INT), 1)
+                    <> substr(sb, CAST(j + d AS INT), 1))),
+                least(ahi - i, bhi - j)) AS INT) AS k2
+            FROM (
+              SELECT si.*, CAST(unnest(range(si.blo, si.bhi)) AS INT) AS j
+              FROM (
+                SELECT s.*, CAST(unnest(range(s.alo, s.ahi)) AS INT) AS i
+                FROM seg s
+                WHERE s.k = 0 AND s.ahi > s.alo AND s.bhi > s.blo
+              ) si
+            ) sij
+            WHERE substr(sa, i, 1) = substr(sb, j, 1)
+              AND (i = alo OR j = blo
+                   OR substr(sa, i - 1, 1) <> substr(sb, j - 1, 1))
+          )
+          GROUP BY a_key, b_key, sa, sb, alo, ahi, blo, bhi
+        ) g,
+        LATERAL unnest([
+            {'alo': 0, 'ahi': 0, 'blo': 0, 'bhi': 0, 'k': g.bk},
+            {'alo': g.alo, 'ahi': g.bi, 'blo': g.blo, 'bhi': g.bj, 'k': 0},
+            {'alo': g.bi + g.bk, 'ahi': g.ahi,
+             'blo': g.bj + g.bk, 'bhi': g.bhi, 'k': 0}
+        ]) c(r)
+        WHERE c.r['k'] > 0 OR (c.r['ahi'] > c.r['alo'] AND c.r['bhi'] > c.r['blo'])
+      )
+      SELECT p_brand, a_key, b_key, ratio FROM (
+        SELECT c.p_brand, s.a_key, s.b_key,
+               2.0 * sum(s.k) / (c.la + c.lb) AS ratio
+        FROM seg s JOIN cand c ON s.a_key = c.a_key AND s.b_key = c.b_key
+        GROUP BY c.p_brand, s.a_key, s.b_key, c.la, c.lb)
+      WHERE ratio >= 0.85
+      ORDER BY p_brand, a_key, b_key"""))
 
   /** The reference's relaxed-threshold near-miss debug scan
     * (movie_generator.py:629-648: report every corpus entry with
