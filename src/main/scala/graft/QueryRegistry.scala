@@ -27,7 +27,8 @@ object QueryRegistry {
       operators.CurationOps.all ++
       operators.AssemblyOps.all ++
       operators.CorpusOps.all ++
-      operators.TokenizerOps.all
+      operators.TokenizerOps.all ++
+      operators.SketchOps.all
 
   lazy val byName: Map[String, GraftQuery] =
     queries.map(q => q.name -> q).toMap

@@ -69,8 +69,16 @@ object MLPipelineOps {
 
   /** ANN via BucketedRandomProjectionLSH — the scale path for top-k
     * (numCandidates analog, SURVEY T4/O3): bucket the corpus, probe the
-    * query vector's buckets, exact-rescore only the candidates. */
-  private val q61 = GraftQuery(
+    * query vector's buckets, exact-rescore only the candidates.
+    *
+    * NOT in the driver registry (r5): MLlib's internal hashing has no SQL
+    * twin, so this sat as a `no_oracle` row for three rounds while
+    * q80/q26/q105 proved the same ANN capability with full hash checks.
+    * It stays a first-class library entry point, now pinned by the
+    * q118-style exhaustive-rank contract in QueriesSpec (every returned
+    * neighbor within the exhaustive top 5% by exact cosine) on top of the
+    * recall floor. */
+  val q61 = GraftQuery(
     "q61_lsh_ann_topk",
     (s, d) => {
       import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
@@ -210,8 +218,13 @@ object MLPipelineOps {
     * MLlib KMeans (seeded, deterministic) learns the cells offline-style
     * (trained once per session on a sample — see [[quantizer]]), the query
     * probes the nearest nprobe centroids, exact cosine rescoring runs
-    * only inside probed cells. */
-  private val q65 = GraftQuery(
+    * only inside probed cells.
+    *
+    * NOT in the driver registry (r5) — same rationale as [[q61]]: the
+    * MLlib quantizer has no SQL twin; the capability is hash-proved by
+    * q26/q80/q105 and this path is pinned by recall + exhaustive-rank
+    * contracts in QueriesSpec. */
+  val q65 = GraftQuery(
     "q65_ivf_kmeans_topk",
     (s, d) => {
       import org.apache.spark.ml.functions.array_to_vector
@@ -291,5 +304,8 @@ object MLPipelineOps {
       FROM toks GROUP BY doc_id ORDER BY doc_id"""
     })
 
-  val all: Seq[GraftQuery] = Seq(q60, q61, q62, q63, q64, q65, q70)
+  /** Driver-registry entries — q61/q65 deliberately excluded (see their
+    * scaladoc): the registry carries only oracle-checkable queries; the
+    * MLlib rungs remain library surface covered by QueriesSpec. */
+  val all: Seq[GraftQuery] = Seq(q60, q62, q63, q64, q70)
 }
