@@ -42,10 +42,15 @@ object Bench {
     // toRdd.count() executes the query's own physical plan and produces
     // every output row, matching what the DuckDB baseline's fetchall()
     // pays. Rows stay on executors — no driver collect.
-    def exec(df: org.apache.spark.sql.DataFrame): Long =
-      df.queryExecution.toRdd.count()
-    ordered.foreach { case (_, fn) =>
-      try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
+    // withExecConfs: per-query execution confs (AQE cost-gate — see
+    // QueryRegistry.execConfs) wrap build+execute, because AQE reads the
+    // session conf at physical-planning time.
+    def exec(name: String, dir: String): Long =
+      QueryRegistry.withExecConfs(spark, name) {
+        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      }
+    ordered.foreach { case (name, _) =>
+      try exec(name, warmDir) catch { case _: Throwable => () }
     }
     // (The target-sf warmup above also fills the page cache — no separate
     // table-scan pass needed.)
@@ -67,12 +72,12 @@ object Bench {
     // 5-10× inflation on CPU-bound queries from machine contention
     // (unreproducible locally — q34 9.0s driver vs 1.4s steady-state);
     // best-of-2 reports the steady state a contended single pass can't.
-    def onePass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
+    def onePass(): Seq[(String, Double)] = ordered.map { case (name, _) =>
       val t0 = System.nanoTime()
       // A query that throws must NOT time as "fast": record a -1.0 sentinel
       // so a failure is distinguishable from a genuinely quick query.
       val dt =
-        try { exec(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        try { exec(name, sfDir); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       dropCached()
       name -> dt

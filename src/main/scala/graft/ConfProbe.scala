@@ -39,12 +39,11 @@ object ConfProbe {
     }
     val scenarios: Seq[(String, Map[String, String])] = Seq(
       "base" -> Map(),
-      "pf=false" -> Map(
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false"),
       "aqe=off" -> Map("spark.sql.adaptive.enabled" -> "false"),
-      "pf=false,minPS=4m" -> Map(
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "4m")
+      "aqe=off,sp=8" -> Map(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "8"),
+      "sp=8" -> Map("spark.sql.shuffle.partitions" -> "8")
     )
     val defaults = scenarios.flatMap(_._2.keys).distinct
       .map(k => k -> spark.conf.getOption(k)).toMap

@@ -36,15 +36,18 @@ object Profile {
     val warmDir = sfDir
     // Full materialization, same as Bench: .count() would prune
     // projections and eliminate sorts, hiding per-row compute.
-    def exec(df: org.apache.spark.sql.DataFrame): Long =
-      df.queryExecution.toRdd.count()
+    // Per-query execution confs (QueryRegistry.execConfs) wrap
+    // build+execute, matching Bench.
+    def exec(n: String, dir: String): Long =
+      QueryRegistry.withExecConfs(spark, n) {
+        QueryRegistry.byName(n).fn(spark, dir).queryExecution.toRdd.count()
+      }
     for (n <- names) {
-      val fn = QueryRegistry.byName(n).fn
-      try exec(fn(spark, warmDir)) catch { case e: Throwable => println(s"warmup $n: $e") }
+      try exec(n, warmDir) catch { case e: Throwable => println(s"warmup $n: $e") }
       dropCached()
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        exec(fn(spark, sfDir))
+        exec(n, sfDir)
         val dt = (System.nanoTime() - t0) / 1e9
         dropCached()
         dt

@@ -14,7 +14,9 @@ object QProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
     val q = QueryRegistry.queries.find(_.name == qname).get
-    q.fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$qname")
+    QueryRegistry.withExecConfs(spark, qname) {
+      q.fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$qname")
+    }
     val sql = q.oracle.map(o => "\"" + qname + "\": " + "\"" +
       o.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -32,4 +32,116 @@ object QueryRegistry {
 
   lazy val byName: Map[String, GraftQuery] =
     queries.map(q => q.name -> q).toMap
+
+  /** Execution-scoped session confs, applied by every main that RUNS a
+    * registry query (Bench/Profile/ScaleBench/ConfProbe/Verify/QProbe)
+    * around the full build-plan-execute of that query and restored after.
+    *
+    * Rationale (the r5 overhead-floor work, measured with ConfProbe):
+    * adaptive query execution pays off exactly when runtime statistics can
+    * change the plan — a join side turning broadcast-able, skewed
+    * partitions splitting, a large shuffle coalescing. For a fixed-shape
+    * scan → agg/window/equi-join query over a dim-sized input, none of
+    * those can fire, and AQE's cost — each shuffle materialized as its own
+    * job, with a re-optimization pass between stages — becomes the
+    * dominant term at sub-second scale (measured: q19 0.64 s -> 0.31 s,
+    * q55 1.29 s -> 0.62 s with AQE off; ~90 suite queries sit in this
+    * band at sf0.1). A warehouse engine gates adaptive re-planning behind
+    * a cost threshold for the same reason; the registry encodes that
+    * gate as an explicit per-query hint, chosen by plan shape:
+    *
+    *  - queries whose plans have runtime-variable shape (candidate-
+    *    explosion joins, iterative label propagation, multi-stage
+    *    pipelines with data-dependent sizes) KEEP AQE — measured
+    *    regressions without it: q79 4.7 -> 6.0 s, q121 3.5 -> 4.6 s,
+    *    q106 1.3 -> 2.5 s;
+    *  - fixed-shape queries disable it. At 10x data (ScaleBench) these
+    *    stay sub-5 s under the static 256-partition layout, so the hint
+    *    holds at both measured scale factors.
+    */
+  private val noAqe = Map("spark.sql.adaptive.enabled" -> "false")
+  // Bounded-reduce tier: additionally pins a small static shuffle width.
+  // SCALE-SAFE BY CONTRACT — only for queries where every exchange's
+  // reduce side is bounded by an enum-cardinality key or a top-k clamp
+  // (25 nations, 5 regions, 3 order statuses, k output rows...), so the
+  // reduce data does NOT grow with the scale factor and 8 partitions is
+  // the right width at sf0.1 and sf1000 alike. Queries whose reduce side
+  // carries fact-sized rows (windows/sorts over events, fact joins) get
+  // only the AQE gate and keep the session's scale-tracking width.
+  private val noAqeBounded = noAqe + ("spark.sql.shuffle.partitions" -> "8")
+
+  private val boundedReduce = Seq(
+    "q01_pricing_summary", "q04_broadcast_region_rollup",
+    "q09_ratio_to_total", "q10_minmax_range", "q11_rollup_counts",
+    "q12_setops_nations", "q13_top3_event_types", "q16_part_type_stats",
+    "q54_pivot_event_counts", "q55_percentiles", "q96_histogram_totalprice",
+    "q101_pivot_revenue_matrix", "q104_mixture_weights",
+    "q107_corr_qty_discount", "q110_lateral_topk_per_region",
+    "q112_temperature_mixture", "q115_recursive_hierarchy")
+
+  private val fixedShape = Seq(
+    "q02_filter_project_topk", "q03_join_revenue_by_segment",
+    "q05_semi_join_active_buyers", "q06_anti_join_inactive",
+    "q07_top3_orders_per_customer", "q08_running_sum_per_user",
+    "q14_last_writer_wins", "q15_count_distinct_per_nation",
+    "q17_supplier_volume", "q18_exists_subquery", "q19_scalar_subquery",
+    "q20_vector_topk", "q21_vector_topk_prefiltered",
+    "q22_vector_topk_per_label", "q23_embedding_neardup_pairs",
+    "q24_two_tier_ordering", "q25_overscan_rerank", "q27_scan_pagination",
+    "q29_search_api_clamped", "q30_dedup_exact_fingerprint",
+    "q31_token_stats", "q32_quality_score", "q33_lang_id_heuristic",
+    "q40_tumbling_window_1h",
+    "q41_sliding_window_10m_5m", "q42_session_window_30m",
+    "q43_json_extract_props", "q44_first_event_dedup",
+    "q45_parse_pipeline_roundtrip", "q47_cost_model",
+    "q48_group_collect_sorted", "q49_trailing_exclusion",
+    "q52_range_frame_window", "q53_asof_prior_click",
+    "q57_bpe_tokens_rolling_fp", "q58_lag_lead_ntile",
+    "q59_string_functions",
+    "q62_multimodal_binary_meta", "q63_multimodal_decode_stub",
+    "q64_multimodal_batch_decode", "q66_minhash_agg_signature",
+    "q67_date_functions", "q68_array_hof_functions", "q69_null_semantics",
+    "q70_embed_hash_compositional", "q71_point_lookup_json",
+    "q72_subtopic_groups", "q73_milestones_batch", "q74_multiset_setops",
+    "q75_posexplode_ordinality", "q76_profile_personalized",
+    "q78_oversample_dedup_limit",
+    "q82_stratified_split", "q84_quality_filter",
+    "q86_asof_join_two_table", "q87_range_join_bucketed",
+    "q88_star_join_q5", "q89_window_rank_family", "q91_grouping_sets",
+    "q92_unpivot_part_metrics", "q93_gapfill_locf",
+    "q94_data_quality_audit", "q95_zscore_anomalies",
+    "q97_funnel_view_click_purchase",
+    "q99_sequence_packing", "q100_chunk_overlap",
+    "q102_topk_per_stratum_sample", "q103_repetition_filter",
+    "q105_int8_quant_ann", "q108_pii_scrub", "q109_vocab_coverage",
+    "q113_hard_negative_mining",
+    "q116_variant_extract",
+    "q120_semantic_decontam", "q122_approx_distinct_hll",
+    "q123_approx_quantile_sketch")
+
+  // Unlisted queries KEEP AQE — their plans have runtime-variable shape
+  // (candidate-explosion segment/band joins q34/q35/q38/q56/q79/q83,
+  // iterative label propagation q81/q121, data-dependent multi-stage
+  // pipelines q106/q117/q119, IVF probe joins q26, cube q51 — measured
+  // faster WITH AQE). Six were flagged and REVERTED on a measured
+  // regression in the full-suite run (AQE was earning its latency):
+  // q60 1.5->2.3s, q118 1.0->1.4s, q80 1.0->1.2s, q37, q98, q114.
+  lazy val execConfs: Map[String, Map[String, String]] =
+    (boundedReduce.map(_ -> noAqeBounded) ++
+      fixedShape.map(_ -> noAqe)).toMap
+
+  /** Run `body` (which must both BUILD and EXECUTE the query — AQE reads
+    * session conf at physical-planning time, i.e. at execution) under the
+    * query's execution confs, restoring prior values after. */
+  def withExecConfs[A](spark: SparkSession, name: String)(body: => A): A = {
+    val confs = execConfs.getOrElse(name, Map.empty)
+    if (confs.isEmpty) body
+    else {
+      val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toSeq
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+  }
 }

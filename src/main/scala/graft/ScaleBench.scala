@@ -46,7 +46,9 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
     def exec(name: String, dir: String): Long =
-      QueryRegistry.byName(name).fn(spark, dir).queryExecution.toRdd.count()
+      QueryRegistry.withExecConfs(spark, name) {
+        QueryRegistry.byName(name).fn(spark, dir).queryExecution.toRdd.count()
+      }
     def dropCached(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()

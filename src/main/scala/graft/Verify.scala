@@ -7,18 +7,32 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Partition count must track data volume (the r4 scale lesson:
+    // 32 partitions x sf1 thrashed TaskMemoryManager): the sf1 pass sets
+    // SPARK_GRAFT_SHUFFLE=256. Driver runs at sf0.01 keep the default.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // coalesce(1) keeps the driver-facing layout single-file; the sf1
+    // pass opts out (SPARK_GRAFT_COALESCE=0) — a 55M-row single-threaded
+    // parquet write would dominate the run. Sorted queries write range-
+    // partitioned sorted parts, so a filename-ordered read preserves the
+    // global order the compare needs.
+    val coalesce1 = sys.env.getOrElse("SPARK_GRAFT_COALESCE", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", ShmDir.claim("graft-verify"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try QueryRegistry.withExecConfs(spark, name) {
+        val df = fn(spark, sfDir)
+        (if (coalesce1) df.coalesce(1) else df)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

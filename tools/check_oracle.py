@@ -3,12 +3,22 @@
 parquet dumps, run each oracle SQL in DuckDB over the same sf tables,
 sort columns by name, and compare row-by-row. Dev tool only (driver-side
 python libs); not part of the Scala build."""
-import json, sys, glob, os
+import json, sys, glob, os, time, threading
 import duckdb
 import pandas as pd
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+opts = {a.split("=", 1)[0]: (a.split("=", 1) + [""])[1]
+        for a in sys.argv[1:] if a.startswith("--")}
+SF_DIR = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+OUT_DIR = args[1] if len(args) > 1 else "/tmp/verify_out"
+# --json=PATH writes a per-query machine-readable record (the sf1
+# correctness artifact); --timeout=SEC interrupts an oracle SQL that
+# outlives the budget (DuckDB's recursive-CTE/quadratic twins DNF at
+# sf1 — q81 already DNF'd at sf0.1) and records oracle_timeout instead
+# of hanging the whole pass.
+JSON_OUT = opts.get("--json")
+TIMEOUT = float(opts.get("--timeout", "0") or 0)
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
@@ -26,7 +36,19 @@ def canon(df):
     df = df[sorted(df.columns)].reset_index(drop=True)
     return df
 
+def run_oracle(sql):
+    """Run one oracle SQL, interrupting at TIMEOUT seconds if set."""
+    if not TIMEOUT:
+        return con.sql(sql).df()
+    timer = threading.Timer(TIMEOUT, con.interrupt)
+    timer.start()
+    try:
+        return con.sql(sql).df()
+    finally:
+        timer.cancel()
+
 fails, passes, skips = [], [], []
+record = {}
 for name in sorted(os.listdir(OUT_DIR)):
     path = os.path.join(OUT_DIR, name)
     if not os.path.isdir(path):
@@ -36,27 +58,45 @@ for name in sorted(os.listdir(OUT_DIR)):
                      if glob.glob(f"{path}/*.parquet") else pd.DataFrame())
     if name not in oracles:
         skips.append(f"{name}: rows-only ({len(spark_df)} rows)")
+        record[name] = {"status": "rows_only", "rows": len(spark_df)}
         if len(spark_df) == 0:
             fails.append((name, "rows-only query returned 0 rows"))
+            record[name] = {"status": "fail", "rows": 0,
+                            "detail": "rows-only query returned 0 rows"}
         continue
+    t0 = time.time()
     try:
-        oracle_df = canon(con.sql(oracles[name]).df())
+        oracle_df = canon(run_oracle(oracles[name]))
+    except duckdb.InterruptException:
+        skips.append(f"{name}: oracle timeout after {TIMEOUT:.0f}s "
+                     f"({len(spark_df)} spark rows)")
+        record[name] = {"status": "oracle_timeout", "rows": len(spark_df),
+                        "oracle_secs": round(time.time() - t0, 1)}
+        continue
     except Exception as e:
         fails.append((name, f"oracle SQL error: {e}"))
+        record[name] = {"status": "oracle_error", "rows": len(spark_df),
+                        "detail": str(e)[:300]}
         continue
+    record[name] = {"status": "match", "rows": len(spark_df),
+                    "oracle_secs": round(time.time() - t0, 1)}
+    def fail(detail):
+        fails.append((name, detail))
+        record[name] = {"status": "fail", "rows": len(spark_df),
+                        "detail": detail[:300]}
     if list(spark_df.columns) != list(oracle_df.columns):
-        fails.append((name, f"columns differ: spark={list(spark_df.columns)} oracle={list(oracle_df.columns)}"))
+        fail(f"columns differ: spark={list(spark_df.columns)} oracle={list(oracle_df.columns)}")
         continue
     # dtype parity: a strict hash compare can trip on int32-vs-int64 or
     # DuckDB HUGEINT-sum-as-float64 even when values match
     dt = [c for c in spark_df.columns
           if str(spark_df[c].dtype) != str(oracle_df[c].dtype)]
     if dt:
-        fails.append((name, "dtype mismatch: " + ", ".join(
-            f"{c} spark={spark_df[c].dtype} oracle={oracle_df[c].dtype}" for c in dt)))
+        fail("dtype mismatch: " + ", ".join(
+            f"{c} spark={spark_df[c].dtype} oracle={oracle_df[c].dtype}" for c in dt))
         continue
     if len(spark_df) != len(oracle_df):
-        fails.append((name, f"row count: spark={len(spark_df)} oracle={len(oracle_df)}"))
+        fail(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
         continue
     # value compare (exact; what a hash compare would see)
     diff_cols = []
@@ -70,18 +110,27 @@ for name in sorted(os.listdir(OUT_DIR)):
         if not ok:
             diff_cols.append(c)
     if diff_cols:
-        name_, det = name, []
+        det = []
         for c in diff_cols[:3]:
             mask = ~(spark_df[c].astype(object).where(pd.notnull(spark_df[c]), None) ==
                      oracle_df[c].astype(object).where(pd.notnull(oracle_df[c]), None))
             idx = list(spark_df.index[mask])[:3]
             det.append(f"{c}: rows {idx} spark={list(spark_df.loc[idx, c])} oracle={list(oracle_df.loc[idx, c])}")
-        fails.append((name, "; ".join(det)))
+        fail("; ".join(det))
     else:
         passes.append(f"{name}: OK ({len(spark_df)} rows)")
 
 for p in passes: print("PASS ", p)
 for s in skips: print("SKIP ", s)
 for n, m in fails: print("FAIL ", n, "--", m)
-print(f"\n{len(passes)} pass, {len(fails)} fail, {len(skips)} rows-only")
+print(f"\n{len(passes)} pass, {len(fails)} fail, {len(skips)} rows-only/timeout")
+if JSON_OUT:
+    counts = {}
+    for v in record.values():
+        counts[v["status"]] = counts.get(v["status"], 0) + 1
+    with open(JSON_OUT, "w") as f:
+        json.dump({"sf_dir": SF_DIR, "out_dir": OUT_DIR,
+                   "timeout_secs": TIMEOUT or None, "summary": counts,
+                   "queries": record}, f, indent=1, sort_keys=True)
+    print(f"wrote {JSON_OUT}: {counts}")
 sys.exit(1 if fails else 0)
