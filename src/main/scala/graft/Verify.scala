@@ -27,7 +27,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
     new java.io.File(outDir).mkdirs()
+    // Resume mode for the long sf1 pass (SPARK_GRAFT_SKIP_EXISTING=1):
+    // a dump is complete iff Spark's _SUCCESS marker landed, so an
+    // interrupted run can be relaunched and only re-does unfinished
+    // queries. Driver runs (fresh outDir each time) are unaffected.
+    val skipDone = sys.env.get("SPARK_GRAFT_SKIP_EXISTING").contains("1")
     SparkEntry.queries.foreach { case (name, fn) =>
+      if (skipDone && Files.exists(Paths.get(s"$outDir/$name/_SUCCESS")))
+        System.err.println(s"[verify] $name already dumped, skipping")
+      else
       try QueryRegistry.withExecConfs(spark, name) {
         val df = fn(spark, sfDir)
         (if (coalesce1) df.coalesce(1) else df)

@@ -270,6 +270,70 @@ object CurationOps {
       FROM shr JOIN tot USING (doc_id) ORDER BY doc_id"""
     })
 
+  /** q124 — decontamination behind a runtime BLOOM prefilter: bit-for-bit
+    * the same output contract as q85, via the plan you need when the eval
+    * set is too big to broadcast. q85's shape assumes the eval shingle
+    * set fits in a broadcast (true for one benchmark; false for a real
+    * decontamination union — dozens of benchmarks' shingle sets reach
+    * GBs). This variant assumes it does NOT fit: the verify join is a
+    * SHUFFLE join (`shuffle_hash` hint — deliberately not broadcast), and
+    * what makes that affordable at 100 TB is the Bloom filter built from
+    * the eval side in a separate small job and shipped to every corpus
+    * task (bounded bytes regardless of eval size — capacity/fpp set the
+    * bitmap, not the probed data): ~99% of non-matching corpus shingles
+    * are dropped BEFORE the exchange, so the corpus-side shuffle carries
+    * ~matches + fpp instead of every shingle. Exactness is untouched —
+    * the Bloom admits no false negatives and the exact join re-verifies
+    * its ≤1% false positives, so the oracle is IDENTICAL to q85's and
+    * the two queries must hash-match each other (pinned in
+    * BloomPrefilterSpec). Capacity is a fixed 1M-item hint here
+    * (eval shingles: ~6k at sf0.1, ~60k at sf1); production would spend
+    * one count job on the eval side to size it. */
+  private val q124 = GraftQuery(
+    "q124_bloom_prefilter_decontam",
+    (s, d) => {
+      import graft.functions.HashFunctions.shingles
+      import graft.functions.TextFunctions.tokens
+      import graft.functions.expressions.BloomMightContain.bloom_might_contain
+      val sh = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("sg"))
+      val ev = sh.filter(col("doc_id") % 97 === 0).select(col("sg")).distinct()
+      // Build-side job: distributed put + bitwise-OR merge (order-
+      // independent, deterministic); the driver hop is the sketch, not data.
+      val bf = ev.stat.bloomFilter("sg", 1000000L, 0.01)
+      val train = sh.filter(col("doc_id") % 97 =!= 0)
+      val shared = train
+        .filter(bloom_might_contain(col("sg"), bf))
+        .join(ev.hint("shuffle_hash"), Seq("sg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared")) // shingles() is distinct per doc
+      val totals = train.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"))
+      shared.join(totals, Seq("doc_id"))
+        .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+          round(col("n_shared").cast("double") / col("n_shingles"), 6)
+            .as("overlap_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.functions.HashFunctions.shinglesSql
+      // Identical to q85's oracle: the Bloom stage is a pure prefilter and
+      // must not change a single output bit.
+      s"""WITH sh AS (SELECT doc_id,
+              unnest(${shinglesSql("string_split(text, ' ')")}) AS sg
+            FROM documents),
+      ev AS (SELECT DISTINCT sg FROM sh WHERE doc_id % 97 = 0),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+              FROM sh WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+      shr AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+              FROM sh s JOIN ev USING (sg)
+              WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id)
+      SELECT doc_id, n_shared, n_shingles,
+        round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS overlap_ratio
+      FROM shr JOIN tot USING (doc_id) ORDER BY doc_id"""
+    })
+
   /** One named data-quality rule: `violation` is a boolean Column over the
     * audited table's rows. */
   final case class QualityCheck(name: String, violation: org.apache.spark.sql.Column)
@@ -418,5 +482,5 @@ object CurationOps {
       SELECT vec_id, eid AS eval_id, round(score, 6) AS score
       FROM f WHERE rn = 1 ORDER BY vec_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q81, q82, q84, q85, q94, q120)
+  val all: Seq[GraftQuery] = Seq(q81, q82, q84, q85, q94, q120, q124)
 }

@@ -31,10 +31,10 @@ object Relational {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
-            .cast("double").as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("sum_disc_price"),
           count(lit(1)).as("count_order"),
-          round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6)
+          round(dsum(col("l_quantity")) / count(lit(1)), 6)
             .as("avg_qty"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -86,8 +86,8 @@ object Relational {
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
-            .cast("double").as("revenue"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("c_mktsegment"))
     },
@@ -179,7 +179,8 @@ object Relational {
       FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"""))
 
   /** Running per-user sum with an explicit rows frame (SURVEY §2.5 frame
-    * demo); DECIMAL accumulation keeps the running sum bit-exact. */
+    * demo); fixed-point LONG accumulation (fixp) keeps the running sum
+    * bit-exact — same contract as the decimal oracle twin, cheaper agg. */
   private val q08 = GraftQuery(
     "q08_running_sum_per_user",
     (s, d) => {
@@ -187,7 +188,8 @@ object Relational {
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "events")
-        .withColumn("running_value", sum(dec(col("value"))).over(w).cast("double"))
+        .withColumn("running_value",
+          sum(fixp(col("value"))).over(w).cast("double") / lit(100.0))
         .select(col("user_id"), col("event_id"), ftsu(col("ts")).as("ts_s"),
           col("running_value"))
         .orderBy(col("user_id"), col("event_id"))
@@ -333,7 +335,7 @@ object Relational {
         .groupBy(col("p_type"))
         .agg(
           count(lit(1)).as("cnt"),
-          round(sum(dec(col("p_retailprice"))).cast("double") / count(lit(1)), 6)
+          round(dsum(col("p_retailprice")) / count(lit(1)), 6)
             .as("avg_price"),
           max(col("p_size")).as("max_size"))
         .orderBy(col("p_type"))
@@ -556,8 +558,8 @@ object Relational {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
-            .cast("double").as("revenue"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     },
