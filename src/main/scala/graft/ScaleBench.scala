@@ -25,7 +25,8 @@ object ScaleBench {
       "q81_dedup_components", "q117_bpe_merge_training",
       "q118_hard_negative_ann", "q20_vector_topk", "q01_pricing_summary",
       "q08_running_sum_per_user", "q119_bpe_tokenize_apply",
-      "q120_semantic_decontam", "q121_dedup_canonical")
+      "q120_semantic_decontam", "q121_dedup_canonical",
+      "q124_bloom_prefilter_decontam")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
