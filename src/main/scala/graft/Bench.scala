@@ -45,10 +45,15 @@ object Bench {
     // withExecConfs: per-query execution confs (AQE cost-gate — see
     // QueryRegistry.execConfs) wrap build+execute, because AQE reads the
     // session conf at physical-planning time.
-    def exec(name: String, dir: String): Long =
-      QueryRegistry.withExecConfs(spark, name) {
-        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
-      }
+    // GRAFT_NO_EXECCONFS=1: A/B switch to attribute suite-level timing
+    // shifts to the per-query conf gate itself (session-state churn)
+    // vs the queries.
+    val useExecConfs = !sys.env.get("GRAFT_NO_EXECCONFS").contains("1")
+    def exec(name: String, dir: String): Long = {
+      def run() = SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      if (useExecConfs) QueryRegistry.withExecConfs(spark, name)(run())
+      else run()
+    }
     ordered.foreach { case (name, _) =>
       try exec(name, warmDir) catch { case _: Throwable => () }
     }
@@ -82,25 +87,40 @@ object Bench {
       dropCached()
       name -> dt
     }
-    // Calibration probe: a FIXED-WORK in-memory aggregation (no IO, no
-    // shuffle — pure codegen'd CPU across all cores) timed before and
-    // after the measured passes. Its nominal time is a property of the
-    // machine, not the data, so a contended run exposes itself IN THE
-    // RECORD: r4's driver artifact read 137s for an engine that measures
-    // 87-94s, and nothing in the artifact could tell. Bounds documented
-    // in BASELINE.md: calib ≈ 0.25-0.45s on this box idle; > ~0.7s means
-    // the run was contended and the totals overstate the engine.
-    def calibrate(): Double = {
-      val t0 = System.nanoTime()
+    // Calibration probes: TWO fixed-work jobs (no IO, no shuffle) timed
+    // before and after the measured passes. Their nominal times are a
+    // property of the machine, not the data, so a contended run exposes
+    // itself IN THE RECORD: r4's driver artifact read 137s for an engine
+    // that measures 87-94s, and nothing in the artifact could tell.
+    // Two probes because this box has shown two DISTINCT degradation
+    // modes (both hypervisor-level, invisible in guest loadavg):
+    //  - cpu probe: codegen'd arithmetic over a range — catches plain
+    //    CPU-steal contention;
+    //  - alloc probe: per-row string materialization + hashing — catches
+    //    memory-bandwidth/allocation contention, which barely moves the
+    //    arithmetic probe while inflating allocation-heavy string queries
+    //    3-4x (measured 2026-08-13: identical r4 code 94.4s steady vs
+    //    138.1s degraded; cpu probe read a near-nominal 0.26-0.34s while
+    //    q79 ran 30.8s vs 7.1s — the alloc probe exists so that mode is
+    //    self-evident in the artifact too).
+    // Bounds documented in BASELINE.md ("Reading a bench artifact").
+    def timed(work: => Unit): Double = {
+      val t0 = System.nanoTime(); work; (System.nanoTime() - t0) / 1e9
+    }
+    def calibCpu(): Double = timed {
       spark.range(0L, 400000000L, 1L, cpus.toInt)
         .selectExpr("sum(id * 3 + 7) AS s")
-        .queryExecution.toRdd.count()
-      (System.nanoTime() - t0) / 1e9
+        .queryExecution.toRdd.count(): Unit
     }
-    calibrate() // codegen warmup for the probe itself, untimed
-    val calibStart = calibrate()
+    def calibAlloc(): Double = timed {
+      spark.range(0L, 4000000L, 1L, cpus.toInt)
+        .selectExpr("sum(length(md5(concat(cast(id as string), 'graft')))) AS s")
+        .queryExecution.toRdd.count(): Unit
+    }
+    calibCpu(); calibAlloc() // codegen warmup for the probes, untimed
+    val calibStart = calibCpu(); val allocStart = calibAlloc()
     val passes = Seq(onePass(), onePass())
-    val calibEnd = calibrate()
+    val calibEnd = calibCpu(); val allocEnd = calibAlloc()
     val results = ordered.map(_._1).map { name =>
       val ts = passes.map(_.toMap.apply(name))
       val ok = ts.filter(_ >= 0)
@@ -115,7 +135,7 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val qs = qmap(results)
     val total = results.map(_._2).sum
-    val calib = s""""calibration":{"start":${f3(calibStart)},"end":${f3(calibEnd)}}"""
+    val calib = s""""calibration":{"start":${f3(calibStart)},"end":${f3(calibEnd)},"alloc_start":${f3(allocStart)},"alloc_end":${f3(allocEnd)}}"""
     // Full per-query map + BOTH raw passes go to the file only: with 100+
     // queries the one-line form exceeds the driver's bounded stdout-tail
     // window and the line gets front-truncated → BENCH parsed:null (rounds
