@@ -96,14 +96,17 @@ object Bench {
     // modes (both hypervisor-level, invisible in guest loadavg):
     //  - cpu probe: codegen'd arithmetic over a range — catches plain
     //    CPU-steal contention;
-    //  - alloc probe: per-row string materialization + hashing — catches
-    //    memory-bandwidth/allocation contention, which barely moves the
-    //    arithmetic probe while inflating allocation-heavy string queries
-    //    3-4x (measured 2026-08-13: identical r4 code 94.4s steady vs
-    //    138.1s degraded; cpu probe read a near-nominal 0.26-0.34s while
-    //    q79 ran 30.8s vs 7.1s — the alloc probe exists so that mode is
-    //    self-evident in the artifact too).
-    // Bounds documented in BASELINE.md ("Reading a bench artifact").
+    //  - alloc probe: per-row string materialization + hashing — the
+    //    workload class of the suite's string-heavy queries, which one
+    //    observed mode inflates 2-4x while the arithmetic probe stays
+    //    nominal (2026-08-13: identical r4 code 94.4s steady vs 138.1s
+    //    degraded, q79 30.8s vs 7.1s, cpu probe 0.26-0.34s throughout).
+    // The probes bound the STATIC contention modes; the sustained-load
+    // mode (full-suite runs inflate, short isolated runs don't) shows
+    // only partially in them — cross-check a suspect artifact against
+    // isolated Profile timings of the same queries. Nominals + reading
+    // guide: BASELINE.md ("Reading a bench artifact"); fresh-JVM
+    // re-baseline: runMain graft.ProbeOnly.
     def timed(work: => Unit): Double = {
       val t0 = System.nanoTime(); work; (System.nanoTime() - t0) / 1e9
     }
