@@ -1,0 +1,54 @@
+package graft
+
+/** Contracts for the per-query AQE cost-gate (QueryRegistry.execConfs /
+  * withExecConfs): the gate may change PHYSICAL execution only — results
+  * must be bit-identical with and without it, and the session conf must
+  * come back exactly as it was (Bench/Verify run 119 queries through one
+  * session; a leaked conf would silently re-shape every later plan). */
+class ExecConfsSpec extends SparkSpec {
+  init()
+
+  private def rows(name: String, gated: Boolean): Seq[Seq[Any]] = {
+    val fn = QueryRegistry.byName(name).fn
+    val df =
+      if (gated) QueryRegistry.withExecConfs(spark, name)(fn(spark, sf).collect())
+      else fn(spark, sf).collect()
+    df.map(_.toSeq).toSeq
+  }
+
+  // one bounded-reduce query (AQE off + 8-partition pin), one fixed-shape
+  // (AQE off), one ungated control — results must not depend on the gate
+  for (name <- Seq("q01_pricing_summary", "q20_vector_topk",
+      "q79_passjoin_k2_varlen")) {
+    test(s"$name: gate on == gate off, row for row") {
+      // collect() inside withExecConfs so AQE reads the gated conf at
+      // physical planning time, same as Bench/Verify
+      assert(rows(name, gated = true) == rows(name, gated = false))
+    }
+  }
+
+  test("withExecConfs restores prior conf values, set and unset alike") {
+    val aqe = "spark.sql.adaptive.enabled"
+    val sp = "spark.sql.shuffle.partitions"
+    val before = (spark.conf.getOption(aqe), spark.conf.getOption(sp))
+    // q01 is in the bounded tier: sets both keys
+    QueryRegistry.withExecConfs(spark, "q01_pricing_summary") {
+      assert(spark.conf.get(aqe) == "false")
+      assert(spark.conf.get(sp) == "8")
+    }
+    assert((spark.conf.getOption(aqe), spark.conf.getOption(sp)) == before)
+    // exception path must restore too
+    intercept[RuntimeException] {
+      QueryRegistry.withExecConfs(spark, "q01_pricing_summary") {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert((spark.conf.getOption(aqe), spark.conf.getOption(sp)) == before)
+  }
+
+  test("every execConfs key names a registry query") {
+    val known = QueryRegistry.queries.map(_.name).toSet
+    val unknown = QueryRegistry.execConfs.keySet -- known
+    assert(unknown.isEmpty, s"gate entries for non-existent queries: $unknown")
+  }
+}
