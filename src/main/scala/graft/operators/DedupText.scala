@@ -253,6 +253,81 @@ object DedupText {
       SELECT comp AS doc_id, CAST(count(*) - 1 AS BIGINT) AS n_dups_merged
       FROM comps GROUP BY comp ORDER BY doc_id"""))
 
+  /** q125 — INCREMENTAL near-dup dedup: the arriving batch (deterministic
+    * slice doc_id % 10 = 7, ~10% of the corpus) is checked against the
+    * EXISTING corpus without ever re-pairing old×old — the only join is
+    * new-side band signatures against old-side band signatures, so work
+    * scales with |batch| × bucket density, not |corpus|². This is the
+    * shape that keeps dedup affordable on a growing 100-TB corpus: the
+    * full self-join (q34) runs once to bootstrap; every ingest after
+    * that probes the band index. Here the old-side band table is derived
+    * inline because registry queries are stateless; in production it is
+    * the persisted, bucketed signature index (the IndexedVectorStore
+    * pattern — write once, bucket-pruned probes per batch), and the new
+    * batch is typically small enough that its band table broadcasts.
+    * Each new doc reports the minimum old doc_id it near-duplicates
+    * (jaccard >= 0.5, q121's threshold) with that pair's score, or
+    * (-1, 0.0) when unique — null-free by the house rule. Oracle: the
+    * shared q34 CTE chain filtered to cross-slice pairs — the Spark side
+    * must find exactly the pairs the all-pairs banded oracle finds,
+    * proving the asymmetric probe loses nothing. */
+  private val q125 = GraftQuery(
+    "q125_incremental_neardup",
+    (s, d) => {
+      val base = docShingles(s, d)
+        .select(col("doc_id"), packedHashes(col("sg")).as("hs"))
+      val mhCols = (0 until NumHashes).map(k => minHashPacked(col("hs"), k).as(s"mh$k"))
+      val mh = base.select(col("doc_id") +: mhCols: _*)
+      val bandStructs = (0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          bandKey((0 until NumHashes).map(k => col(s"mh$k")), b).as("bkey"))
+      }
+      val bands = mh
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val isNew = col("doc_id") % 10 === 7
+      val bandsNew = bands.filter(isNew)
+        .select(col("doc_id").as("new_id"), col("band"), col("bkey"))
+      val bandsOld = bands.filter(!isNew)
+        .select(col("doc_id").as("old_id"), col("band"), col("bkey"))
+      val cand = bandsNew.join(bandsOld, Seq("band", "bkey"))
+        .select(col("new_id"), col("old_id")).distinct()
+      val sn = base.filter(isNew).select(col("doc_id").as("new_id"), col("hs").as("hsn"))
+      val so = base.filter(!isNew).select(col("doc_id").as("old_id"), col("hs").as("hso"))
+      val matches = cand.join(sn, "new_id").join(so, "old_id")
+        .select(col("new_id"), col("old_id"),
+          round(size(array_intersect(col("hsn"), col("hso"))).cast("double") /
+            size(array_union(col("hsn"), col("hso"))), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+      val bestIds = matches.groupBy(col("new_id"))
+        .agg(min(col("old_id")).as("dup_of"))
+        .withColumnRenamed("new_id", "bn")
+      val best = bestIds.join(matches,
+          bestIds("bn") === matches("new_id") && bestIds("dup_of") === matches("old_id"))
+        .select(col("bn").as("new_id"), col("dup_of"), col("jaccard"))
+      t(s, d, "documents").filter(isNew).select(col("doc_id"))
+        .join(best, col("doc_id") === best("new_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+          coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $minHashPairsSqlCtes,
+      matches AS (SELECT
+          CASE WHEN a_id % 10 = 7 THEN a_id ELSE b_id END AS new_id,
+          CASE WHEN a_id % 10 = 7 THEN b_id ELSE a_id END AS old_id,
+          jaccard
+        FROM pairs
+        WHERE (a_id % 10 = 7) <> (b_id % 10 = 7) AND jaccard >= 0.5),
+      best AS (SELECT new_id, min(old_id) AS dup_of FROM matches GROUP BY new_id),
+      scored AS (SELECT b.new_id, b.dup_of, m.jaccard
+                 FROM best b JOIN matches m
+                   ON b.new_id = m.new_id AND b.dup_of = m.old_id)
+      SELECT d.doc_id, coalesce(s.dup_of, -1) AS dup_of,
+        coalesce(s.jaccard, 0.0) AS jaccard
+      FROM documents d LEFT JOIN scored s ON d.doc_id = s.new_id
+      WHERE d.doc_id % 10 = 7 ORDER BY d.doc_id"""))
+
   /** Blocked 3-gram Jaccard near-dup scan — brute-force within a `source`
     * block (the blocking key bounds the pair count; SURVEY J2 shape).
     * Scale verdict (measured, BASELINE.md sf0.1→sf1): this is the EXACT
@@ -639,5 +714,5 @@ object DedupText {
       ORDER BY score_micro DESC, doc_id LIMIT 20"""))
 
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q57, q66, q68, q69, q71, q72, q75, q90, q121)
+    q38, q57, q66, q68, q69, q71, q72, q75, q90, q121, q125)
 }

@@ -659,6 +659,31 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q125 incremental dedup agrees with the full self-join q34") {
+    // Every (new, old) cross-slice q34 pair at jaccard >= 0.5 must be
+    // reflected in q125 (the asymmetric probe loses nothing), and every
+    // q125 flag must be such a pair with the minimal old id.
+    val full = QueryRegistry.byName("q34_minhash_lsh_pairs").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cross = full.filter { case (a, b, j) =>
+      (a % 10 == 7) != (b % 10 == 7) && j >= 0.5 }
+      .map { case (a, b, j) =>
+        if (a % 10 == 7) (a, b, j) else (b, a, j) }
+    val expect = cross.groupBy(_._1).map { case (n, ps) =>
+      val mo = ps.map(_._2).min
+      n -> (mo, ps.find(_._2 == mo).get._3)
+    }
+    val got = QueryRegistry.byName("q125_incremental_neardup").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    expect.foreach { case (n, (o, j)) =>
+      assert(got.get(n).contains((o, j)), s"new=$n expected dup_of=$o j=$j got=${got.get(n)}")
+    }
+    got.filter(_._2._1 >= 0).keys.foreach { n =>
+      assert(expect.contains(n), s"q125 flagged $n with no q34 cross pair")
+    }
+  }
+
   test("q101 pivot: cell matrix sums to the direct revenue total") {
     val rows = QueryRegistry.byName("q101_pivot_revenue_matrix").fn(spark, sf)
     val cells = rows.collect().map { r =>
