@@ -142,8 +142,15 @@ object Bench {
         .queryExecution.toRdd.count(): Unit
     }
     calibCpu(); calibAlloc() // codegen warmup for the probes, untimed
+    // Three sample points per probe — start, BETWEEN the passes, end:
+    // endpoint-only sampling missed a mid-run contention episode
+    // (2026-08-13: suite +25% uniform while both endpoint probes read
+    // nominal); the midpoint halves the blind window at ~1s cost.
     val calibStart = calibCpu(); val allocStart = calibAlloc()
-    val passes = Seq(onePass(), onePass())
+    val pass1 = onePass()
+    val calibMid = calibCpu(); val allocMid = calibAlloc()
+    val pass2 = onePass()
+    val passes = Seq(pass1, pass2)
     val calibEnd = calibCpu(); val allocEnd = calibAlloc()
     val results = ordered.map(_._1).map { name =>
       val ts = passes.map(_.toMap.apply(name))
@@ -159,7 +166,7 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val qs = qmap(results)
     val total = results.map(_._2).sum
-    val calib = s""""calibration":{"start":${f3(calibStart)},"end":${f3(calibEnd)},"alloc_start":${f3(allocStart)},"alloc_end":${f3(allocEnd)}}"""
+    val calib = s""""calibration":{"start":${f3(calibStart)},"mid":${f3(calibMid)},"end":${f3(calibEnd)},"alloc_start":${f3(allocStart)},"alloc_mid":${f3(allocMid)},"alloc_end":${f3(allocEnd)}}"""
     // Full per-query map + BOTH raw passes go to the file only: with 100+
     // queries the one-line form exceeds the driver's bounded stdout-tail
     // window and the line gets front-truncated → BENCH parsed:null (rounds
