@@ -142,18 +142,47 @@ object Bench {
         .queryExecution.toRdd.count(): Unit
     }
     calibCpu(); calibAlloc() // codegen warmup for the probes, untimed
-    // Three sample points per probe — start, BETWEEN the passes, end:
-    // endpoint-only sampling missed a mid-run contention episode
-    // (2026-08-13: suite +25% uniform while both endpoint probes read
-    // nominal); the midpoint halves the blind window at ~1s cost.
-    val calibStart = calibCpu(); val allocStart = calibAlloc()
-    val pass1 = onePass()
-    val calibMid = calibCpu(); val allocMid = calibAlloc()
-    val pass2 = onePass()
-    val passes = Seq(pass1, pass2)
-    val calibEnd = calibCpu(); val allocEnd = calibAlloc()
+    // PROBE-GATED PASSES (round 6). Both committed driver artifacts so far
+    // (r4 137.5 s, r5 135.3 s vs a 75.2 s quiet engine) were contention-
+    // polluted, and best-of-2 across two differently-contended passes
+    // still left q125 at 16.1 s vs 2.1 s quiet — the probes DIAGNOSED the
+    // pollution but nothing acted on it. Now each pass is bracketed by a
+    // probe sample (start / between passes / end — the midpoint was added
+    // after an endpoint-nominal run hid a mid-run +25% episode), and a
+    // pass whose surrounding samples exceed the per-cpu nominal by >1.5x
+    // is marked contended and replaced by one extra pass (bounded: at
+    // most 2 replacements, so 4 passes total — a permanently-contended
+    // box must still terminate and report, flagged). Per-query timings
+    // are the min over CLEAN passes only; if every pass is contended the
+    // artifact says so and falls back to min-over-all (better a flagged
+    // inflated number than none).
+    // Nominal upper bounds per BASELINE.md "Reading a bench artifact"
+    // (probe times are a property of the machine and core count, re-
+    // baselined via graft.ProbeOnly): cpu 0.30 s / alloc 0.47 s at >=16
+    // cores, 0.45 / 0.80 at fewer.
+    val (nomCpu, nomAlloc) =
+      if (cpus.toInt >= 16) (0.30, 0.47) else (0.45, 0.80)
+    val gate = 1.5
+    def hot(p: (Double, Double)): Boolean =
+      p._1 > nomCpu * gate || p._2 > nomAlloc * gate
+    def probe(): (Double, Double) = (calibCpu(), calibAlloc())
+    val maxPasses = 4
+    val targetClean = 2
+    val probesBuf = scala.collection.mutable.ListBuffer[(Double, Double)]()
+    val passesBuf =
+      scala.collection.mutable.ListBuffer[(Seq[(String, Double)], Boolean)]()
+    probesBuf += probe()
+    while (passesBuf.count(!_._2) < targetClean && passesBuf.size < maxPasses) {
+      val p = onePass()
+      probesBuf += probe()
+      val contended = hot(probesBuf(probesBuf.size - 2)) || hot(probesBuf.last)
+      passesBuf += ((p, contended))
+    }
+    val allPasses = passesBuf.toSeq
+    val cleanPasses = allPasses.filter(!_._2).map(_._1)
+    val scored = if (cleanPasses.nonEmpty) cleanPasses else allPasses.map(_._1)
     val results = ordered.map(_._1).map { name =>
-      val ts = passes.map(_.toMap.apply(name))
+      val ts = scored.map(_.toMap.apply(name))
       val ok = ts.filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
@@ -166,8 +195,15 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val qs = qmap(results)
     val total = results.map(_._2).sum
-    val calib = s""""calibration":{"start":${f3(calibStart)},"mid":${f3(calibMid)},"end":${f3(calibEnd)},"alloc_start":${f3(allocStart)},"alloc_mid":${f3(allocMid)},"alloc_end":${f3(allocEnd)}}"""
-    // Full per-query map + BOTH raw passes go to the file only: with 100+
+    // Calibration block: every probe sample (cpu/alloc pairs bracketing
+    // each pass), the nominals+gate the pass verdicts were judged by, and
+    // the per-pass contended flags. A reader no longer needs BASELINE.md
+    // open to tell a clean artifact from a polluted one — "contended":
+    // [false,false] and clean_passes>=1 IS the claim, auditable from the
+    // raw samples in the same record.
+    val calib =
+      s""""calibration":{"cpu":[${probesBuf.map(p => f3(p._1)).mkString(",")}],"alloc":[${probesBuf.map(p => f3(p._2)).mkString(",")}],"nominal_cpu":$nomCpu,"nominal_alloc":$nomAlloc,"gate":$gate,"contended":[${allPasses.map(_._2).mkString(",")}],"clean_passes":${cleanPasses.size}}"""
+    // Full per-query map + ALL raw passes go to the file only: with 100+
     // queries the one-line form exceeds the driver's bounded stdout-tail
     // window and the line gets front-truncated → BENCH parsed:null (rounds
     // 1 and 2). Stdout carries a short self-contained record the tail
@@ -175,10 +211,10 @@ object Bench {
     // total to a single contended pass instead of guessing (r3's per-query
     // driver detail was lost; r4's couldn't separate pass-level noise).
     val fileLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":2,$calib,"queries":$qs,"passes":[${qmap(passes(0))},${qmap(passes(1))}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},$calib,"queries":$qs,"passes":[${allPasses.map(p => qmap(p._1)).mkString(",")}],"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fileLine + "\n")
     val stdoutLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":2,$calib,"n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},$calib,"n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
     spark.stop()
     // sole final stdout line (after spark.stop so no shutdown noise follows)
     println(stdoutLine)
