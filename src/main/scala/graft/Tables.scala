@@ -22,17 +22,29 @@ object Tables {
     * schema inference — pure fixed overhead when 100+ bench queries each
     * re-open the same static tables (a real deployment reads through a
     * catalog whose file index + schema are cached; this is the local
-    * analog). Keyed by session so a cached plan never crosses sessions;
-    * restricted to /root/testdata so anything regenerable (ScaleGen
-    * snapshots, test temp dirs, streaming outputs) is always re-listed. */
+    * analog). Keyed WEAKLY by the session OBJECT so a cached plan never
+    * crosses sessions (identityHashCode can collide across two live
+    * sessions) and a stopped session's DataFrames become collectable
+    * instead of being retained for the JVM lifetime. Restricted to
+    * /root/testdata so anything regenerable (ScaleGen snapshots, test
+    * temp dirs, streaming outputs) is always re-listed. */
   private val relCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.WeakHashMap[
+      SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (dir.startsWith("/root/testdata/"))
-      relCache.computeIfAbsent(
-        (System.identityHashCode(spark), dir, name), _ => load(spark, dir, name))
-    else load(spark, dir, name)
+    if (dir.startsWith("/root/testdata/")) {
+      val perSession = relCache.synchronized {
+        var m = relCache.get(spark)
+        if (m == null) {
+          m = scala.collection.concurrent.TrieMap.empty
+          relCache.put(spark, m)
+        }
+        m
+      }
+      perSession.getOrElseUpdate((dir, name), load(spark, dir, name))
+    } else load(spark, dir, name)
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
@@ -74,12 +86,25 @@ object Tables {
     * the same double are exactly the cross-engine contract the suite
     * hash-checks. Headroom: the long accumulator is exact while
     * |Σ·10^s| < 2^63 and the double emission is single-rounded while
-    * |Σ·10^s| < 2^53 (~9.0e15) — at s=2 that is ~9e13 currency units,
-    * >1000× this suite's largest sf1 sum; past that, partial-sum into
-    * DECIMAL per partition instead (documented tradeoff, not needed at
-    * any graded scale). */
-  def dsum(c: Column, s: Int = 2): Column =
-    (sum(fixp(c, s)).cast("double") / lit(math.pow(10, s)))
+    * |Σ·10^s| < 2^53 (~9.0e15). The margin SHRINKS with s: at s=2 that
+    * is ~9e13 currency units (>1000× this suite's largest sf1 sum), but
+    * at s=4 only ~9e11 units — single-digit multiples above sf1
+    * revenue-style group sums, i.e. growing past ~sf8 would cross it.
+    * So the bound is ENFORCED, not assumed: the per-group result carries
+    * an assert_true that fails the query loudly the moment a sum leaves
+    * the single-rounding range (negligible cost — evaluated once per
+    * output group, post-aggregation), at which point the remedy is
+    * partial-summing into DECIMAL per partition. */
+  def dsum(c: Column, s: Int = 2): Column = {
+    val raw = sum(fixp(c, s))
+    val guarded = when(
+      assert_true(
+        abs(raw) < lit(9007199254740992L),
+        lit(s"dsum overflow: |sum*10^$s| >= 2^53 — switch to decimal partial sums")
+      ).isNull,
+      raw)
+    (guarded.cast("double") / lit(math.pow(10, s)))
+  }
 
   /** Timestamp → canonical string, second precision. */
   def fts(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")

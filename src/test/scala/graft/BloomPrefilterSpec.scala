@@ -53,12 +53,40 @@ class BloomPrefilterSpec extends SparkSpec {
 
   test("q124 plan: corpus-side probe sits below a shuffle (not broadcast) " +
     "join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec,
+      BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
     val df = QueryRegistry.byName("q124_bloom_prefilter_decontam").fn(spark, sf)
-    // Catalyst prints expressions via prettyName (lowercased class name)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("bloommightcontain"),
-      s"bloom probe missing from the plan:\n$plan")
-    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
-      s"verify join is not a shuffle join:\n$plan")
+    // Force AQE finalization so the asserted plan is the one that RAN
+    // (AQE may demote/promote joins at runtime), then walk it with a
+    // traversal that descends through the stage wrappers — both
+    // AdaptiveSparkPlanExec and QueryStageExec report no children, so a
+    // plain collect() on the outer plan sees no join nodes at all.
+    df.queryExecution.toRdd.count()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other.children.flatMap(nodes)
+    })
+    // Anchor the assertion to the SPECIFIC join the Bloom probe feeds:
+    // the query also contains a totals join, so "some shuffle join exists
+    // somewhere" could pass even if the verify join went broadcast. The
+    // innermost join whose subtree prints the probe (traversal is
+    // pre-order, so among nested matches the last is the closest above
+    // the probe) is the verify join. Catalyst prints expressions via
+    // prettyName (lowercased class name).
+    val joinsOverProbe = nodes(df.queryExecution.executedPlan).collect {
+      case j: BaseJoinExec
+        if j.children.exists(_.toString.toLowerCase.contains("bloommightcontain")) => j
+    }
+    assert(joinsOverProbe.nonEmpty,
+      s"no join has the bloom probe below it:\n${df.queryExecution.executedPlan}")
+    val verifyJoin = joinsOverProbe.last
+    assert(!verifyJoin.isInstanceOf[BroadcastHashJoinExec] &&
+      !verifyJoin.isInstanceOf[BroadcastNestedLoopJoinExec],
+      s"the bloom-verify join is broadcast — q124 exists precisely for eval " +
+        s"sets too big to broadcast:\n$verifyJoin")
   }
 }

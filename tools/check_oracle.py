@@ -57,12 +57,15 @@ for name in sorted(os.listdir(OUT_DIR)):
                      sorted(glob.glob(f"{path}/*.parquet"))], ignore_index=True)
                      if glob.glob(f"{path}/*.parquet") else pd.DataFrame())
     if name not in oracles:
-        skips.append(f"{name}: rows-only ({len(spark_df)} rows)")
-        record[name] = {"status": "rows_only", "rows": len(spark_df)}
         if len(spark_df) == 0:
+            # fail only -- appending to skips too would double-count the
+            # query in the summary line and print it as both SKIP and FAIL
             fails.append((name, "rows-only query returned 0 rows"))
             record[name] = {"status": "fail", "rows": 0,
                             "detail": "rows-only query returned 0 rows"}
+        else:
+            skips.append(f"{name}: rows-only ({len(spark_df)} rows)")
+            record[name] = {"status": "rows_only", "rows": len(spark_df)}
         continue
     t0 = time.time()
     try:
