@@ -467,7 +467,9 @@ object DedupText {
         // thresholded levenshtein: banded O(k·n) DP with early exit,
         // returns -1 above the bound — exact value otherwise, so the
         // ≤2 semantics match the oracle's full-DP filter
-        .withColumn("lev", levenshtein(col("a_sfx"), col("b_sfx"), 2).cast("long"))
+        .withColumn("lev",
+          graft.functions.expressions.LevenshteinK
+            .levenshtein_k(col("a_sfx"), col("b_sfx"), 2).cast("long"))
         .filter(col("lev") >= 0)
         // ratio is over FULL name lengths (the strip preserves lev only)
         .select(col("nk"), col("a_key"), col("b_key"), col("lev"),

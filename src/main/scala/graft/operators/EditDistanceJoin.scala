@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import graft.Tables._
+import graft.functions.expressions.LevenshteinK.levenshtein_k
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -76,7 +77,7 @@ object EditDistanceJoin {
     // equi-join ALSO keys on the block — pairs never cross blocks.
     index.join(probe, blockCols ++ Seq("sig"))
       .filter(col("a_key") < col("b_key"))
-      .withColumn("lev", levenshtein(col("a_sfx"), col("b_sfx"), 1).cast("long"))
+      .withColumn("lev", levenshtein_k(col("a_sfx"), col("b_sfx"), 1).cast("long"))
       .filter(col("lev") >= 0)
       .groupBy((blockCols.map(col) :+ col("a_key") :+ col("b_key")): _*)
       .agg(min(col("lev")).as("lev"))
@@ -177,7 +178,7 @@ object EditDistanceJoin {
     // shuffle carries (a_key, b_key, lev) ints, never candidate strings.
     idx.join(probe, blockCols ++ Seq("sig"))
       .filter(col("a_key") < col("b_key"))
-      .withColumn("lev", levenshtein(col("a_str"), col("b_str"), 2).cast("long"))
+      .withColumn("lev", levenshtein_k(col("a_str"), col("b_str"), 2).cast("long"))
       .filter(col("lev") >= 0)
       .groupBy((bc :+ col("a_key") :+ col("b_key")): _*)
       .agg(min(col("lev")).as("lev"))
@@ -229,7 +230,7 @@ object EditDistanceJoin {
         "xxhash64(CASE WHEN i = 0 THEN d ELSE concat(substr(d, 1, i - 1), substr(d, i + 1)) END) AS sig"): _*)
     sigs("a_key", "a_str").join(sigs("b_key", "b_str"), blockCols :+ "sig")
       .filter(col("a_key") < col("b_key"))
-      .withColumn("lev", levenshtein(col("a_str"), col("b_str"), 2).cast("long"))
+      .withColumn("lev", levenshtein_k(col("a_str"), col("b_str"), 2).cast("long"))
       .filter(col("lev") >= 0)
       .groupBy((bc :+ col("a_key") :+ col("b_key")): _*)
       .agg(min(col("lev")).as("lev"))
@@ -262,7 +263,7 @@ object EditDistanceJoin {
     // expensive predicate ahead of the cheap key/length short-circuits
     // on the n² pair stream. Survivors re-evaluate lev once in the
     // projection (output-sized, negligible).
-    val lv = levenshtein(col("a_str"), col("b_str"), k)
+    val lv = levenshtein_k(col("a_str"), col("b_str"), k)
     a.join(b, blockPred && col("a_key") < col("b_key") &&
         abs(length(col("a_str")) - length(col("b_str"))) <= k && lv >= 0)
       .select((blockCols.map(c => col(s"__a_$c").as(c)) :+

@@ -187,7 +187,8 @@ object PipelineOps {
       a.join(b, Seq("p_brand", "p_type"))
         .filter(col("a_key") < col("b_key"))
         .withColumn("lev",
-          levenshtein(lower(col("a_name")), lower(col("b_name")), bound))
+          graft.functions.expressions.LevenshteinK
+            .levenshtein_k(lower(col("a_name")), lower(col("b_name")), bound))
         .filter(col("lev") >= 0)
         .withColumn("sim", lit(1.0) - col("lev").cast("double") /
           greatest(length(col("a_name")), length(col("b_name"))))

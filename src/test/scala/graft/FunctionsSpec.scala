@@ -160,6 +160,84 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("LevenshteinBand kernel: exhaustive small-alphabet agreement with full DP") {
+    import graft.functions.expressions.LevenshteinBand
+    // naive full-matrix DP, thresholded contract: dist if <= k else -1
+    def naive(a: String, b: String, k: Int): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      if (d(a.length)(b.length) <= k) d(a.length)(b.length) else -1
+    }
+    // every pair of strings over {a,b} with length <= 5 (1365^2 ordered
+    // pairs incl. empty), at every k the join family uses
+    val strs = (0 to 5).flatMap(n =>
+      (0 until (1 << n)).map(m =>
+        (0 until n).map(i => if ((m >> i & 1) == 1) 'b' else 'a').mkString))
+    for (k <- 1 to 3; a <- strs; b <- strs) {
+      val got = LevenshteinBand.asciiDist(a.getBytes, b.getBytes, k)
+      assert(got == naive(a, b, k), s"asciiDist($a, $b, $k)")
+    }
+  }
+
+  test("LevenshteinBand kernel: random long strings vs full DP, k=2") {
+    import graft.functions.expressions.LevenshteinBand
+    def naive(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(79)
+    val vocab = "abcdefgh"
+    def rs(n: Int) = (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString
+    (0 until 500).foreach { _ =>
+      val a = rs(5 + rnd.nextInt(40))
+      // half the cases: b is a small perturbation of a (near the threshold)
+      val b =
+        if (rnd.nextBoolean()) rs(5 + rnd.nextInt(40))
+        else (0 until rnd.nextInt(4)).foldLeft(a) { (s, _) =>
+          val p = rnd.nextInt(s.length + 1)
+          rnd.nextInt(3) match {
+            case 0 => s.patch(p, rs(1), 0)                       // insert
+            case 1 if s.nonEmpty => s.patch(p min (s.length - 1), "", 1) // delete
+            case _ if s.nonEmpty => s.patch(p min (s.length - 1), rs(1), 1) // subst
+            case _ => s
+          }
+        }
+      val want = { val d = naive(a, b); if (d <= 2) d else -1 }
+      assert(LevenshteinBand.asciiDist(a.getBytes, b.getBytes, 2) == want,
+        s"asciiDist($a, $b, 2)")
+    }
+  }
+
+  test("levenshtein_k matches the built-in thresholded levenshtein in a plan") {
+    import graft.functions.expressions.LevenshteinK.levenshtein_k
+    val rnd = new scala.util.Random(56)
+    val vocab = "abcde"
+    def rs(n: Int) = (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString
+    val pairs = (0 until 300).map { _ =>
+      (rs(rnd.nextInt(15)), rs(rnd.nextInt(15)))
+    } ++ Seq( // non-ASCII exercises the fallback path; empty the edges
+      ("héllo", "hello"), ("wörld", "world"), ("日本語", "日本誤"),
+      ("", ""), ("", "ab"), ("ab", ""), ("héllo", "héllo"))
+    for (k <- 1 to 2) {
+      val rows = pairs.toDF("a", "b")
+        .select(levenshtein(col("a"), col("b"), k).as("builtin"),
+          levenshtein_k(col("a"), col("b"), k).as("banded"))
+        .collect()
+      pairs.zip(rows).foreach { case ((a, b), r) =>
+        assert(r.getInt(0) == r.getInt(1), s"k=$k ($a, $b)")
+      }
+    }
+  }
+
   test("maxElemCount (sorted-run HOF) agrees with TokenMetrics top_token_count") {
     import graft.functions.TextFunctions.maxElemCount
     import graft.functions.expressions.TokenMetrics.token_metrics
