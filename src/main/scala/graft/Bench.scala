@@ -15,6 +15,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/ScaleBench/the specs: the NTZ→instant cast in the
+      // events loader and every date_format output are session-tz-dependent
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Shuffle/spill dirs on tmpfs when available: the bench box's VM
       // disk has bursty writeback stalls that inflate shuffle-heavy

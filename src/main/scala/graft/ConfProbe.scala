@@ -26,6 +26,7 @@ object ConfProbe {
       "q121_dedup_canonical", "q34_minhash_lsh_pairs")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", ShmDir.claim("graft-bench"))
       .getOrCreate()

@@ -17,6 +17,7 @@ object Profile {
     val iters = opt("--iters", "2").toInt
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // tmpfs shuffle dirs, same rationale as Bench (VM-disk writeback
       // storms inflate shuffle-heavy queries 2-3x at random); per-PID dir

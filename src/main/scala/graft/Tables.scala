@@ -50,18 +50,30 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as LONG (legacy flag), then
-    * truncate to microseconds exactly like DuckDB's nanos→micros read.
-    * Integer `div` — double division would lose precision above 2^53. */
+  /** events.ts arrives differently depending on the writer generation —
+    * normalize every form to the engine's TIMESTAMP (instant) type so
+    * downstream queries (unix_micros, windows, as-of joins) see ONE type:
+    *  - parquet TIMESTAMP(NANOS): legacy harness files. Spark's vectorized
+    *    reader rejects nanos, so read as LONG (legacy flag) and truncate
+    *    to microseconds exactly like DuckDB's nanos→micros read. Integer
+    *    `div` — double division would lose precision above 2^53.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): current harness
+    *    files (2026-08-13 regeneration); Spark infers TIMESTAMP_NTZ. Cast
+    *    to TIMESTAMP re-labels the same micros under the session zone —
+    *    the house convention pins every session to UTC (SURVEY §5), so
+    *    this is bit-identical to DuckDB's naive read of the same column.
+    *  - plain TIMESTAMP: derived snapshots (ScaleGen) — pass through. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    // nanos→micros only when ts actually arrives as nanos-long (the
-    // harness files); derived snapshots (ScaleGen) store a plain timestamp
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Cast to DECIMAL(18,s) — exact, associative sums on both engines. */
