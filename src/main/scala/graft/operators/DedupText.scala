@@ -144,21 +144,35 @@ object DedupText {
     * is writing the packed-hash table to storage once vs recomputing a
     * cheap narrow map — the shingle+md5 map is ~3% of the query's work,
     * so recompute wins at any scale. */
-  private[operators] def minHashPairs(s: SparkSession, d: String): DataFrame = {
-    val base = docShingles(s, d)
+  /** (doc_id, hs): each doc's packed-hash shingle set — the input to both
+    * the minhash signatures and the Jaccard verify rung. */
+  private[graft] def packedHashTable(s: SparkSession, d: String): DataFrame =
+    docShingles(s, d)
       .select(col("doc_id"), packedHashes(col("sg")).as("hs"))
+
+  /** (doc_id, hs, band, bkey): the exploded LSH band-signature table over a
+    * packed-hash table. `hs` rides along for callers that verify in-cell
+    * (BandIndexStore persists it next to the signature); callers that only
+    * join on (band, bkey) project it away and Catalyst prunes the column
+    * before the explode, so carrying it is free when unused. */
+  private[graft] def bandTable(hashTable: DataFrame): DataFrame = {
     val mhCols = (0 until NumHashes).map(k => minHashPacked(col("hs"), k).as(s"mh$k"))
-    val mh = base.select(col("doc_id") +: mhCols: _*)
+    val mh = hashTable.select(col("doc_id") +: col("hs") +: mhCols: _*)
     val bandStructs = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         bandKey((0 until NumHashes).map(k => col(s"mh$k")), b).as("bkey"))
     }
+    mh.select(col("doc_id"), col("hs"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("hs"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  private[operators] def minHashPairs(s: SparkSession, d: String): DataFrame = {
+    val base = packedHashTable(s, d)
     // Band signatures are cheap arithmetic over the staged hashes —
     // recomputing them on each self-join side beats a second
     // materialization (measured at sf0.1)
-    val bands = mh
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val bands = bandTable(base).select(col("doc_id"), col("band"), col("bkey"))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -274,17 +288,8 @@ object DedupText {
   private val q125 = GraftQuery(
     "q125_incremental_neardup",
     (s, d) => {
-      val base = docShingles(s, d)
-        .select(col("doc_id"), packedHashes(col("sg")).as("hs"))
-      val mhCols = (0 until NumHashes).map(k => minHashPacked(col("hs"), k).as(s"mh$k"))
-      val mh = base.select(col("doc_id") +: mhCols: _*)
-      val bandStructs = (0 until NumBands).map { b =>
-        struct(lit(b).as("band"),
-          bandKey((0 until NumHashes).map(k => col(s"mh$k")), b).as("bkey"))
-      }
-      val bands = mh
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val base = packedHashTable(s, d)
+      val bands = bandTable(base).select(col("doc_id"), col("band"), col("bkey"))
       val isNew = col("doc_id") % 10 === 7
       val bandsNew = bands.filter(isNew)
         .select(col("doc_id").as("new_id"), col("band"), col("bkey"))
