@@ -38,13 +38,26 @@ object ConfProbe {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
     }
+    // Phase-3 floor scenarios (r5 verdict item 7): the bounded-reduce tier
+    // already runs aqe=off,sp=8 — probe whether a narrower static width or
+    // the hash-aggregate exec choice shaves the remaining ~0.3 s stage-
+    // launch floor. sp=1 is the "single-partition local execution" bound:
+    // every exchange in the tier is enum-keyed/top-k-clamped, so width is
+    // a latency knob, not a scale knob, for THESE queries only.
     val scenarios: Seq[(String, Map[String, String])] = Seq(
-      "base" -> Map(),
-      "aqe=off" -> Map("spark.sql.adaptive.enabled" -> "false"),
-      "aqe=off,sp=8" -> Map(
+      "gate(aqe=off,sp=8)" -> Map(
         "spark.sql.adaptive.enabled" -> "false",
         "spark.sql.shuffle.partitions" -> "8"),
-      "sp=8" -> Map("spark.sql.shuffle.partitions" -> "8")
+      "aqe=off,sp=4" -> Map(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "4"),
+      "aqe=off,sp=1" -> Map(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "1"),
+      "aqe=off,sp=8,objagg=off" -> Map(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "8",
+        "spark.sql.execution.useObjectHashAggregateExec" -> "false")
     )
     val defaults = scenarios.flatMap(_._2.keys).distinct
       .map(k => k -> spark.conf.getOption(k)).toMap

@@ -65,25 +65,41 @@ object ScaleBench {
       try exec(n, bigDir) catch { case _: Throwable => () }
     }
     dropCached()
-    def time(name: String, dir: String): Double = {
-      val ts = (1 to 2).map { _ =>
+    // Output-bound giants (q35 62M rows, q79 55M pairs at sf1) swing
+    // ±40-60% run-to-run on the big side (BASELINE.md variance note) —
+    // min-of-2 over that distribution is a coin flip. They get 3 passes
+    // and report the MEDIAN, with every raw pass in the artifact so a
+    // reader can see the spread instead of trusting one draw.
+    val giants = Set("q35_ngram_jaccard_blocked", "q79_passjoin_k2_varlen")
+    def passes(name: String, dir: String): Seq[Double] = {
+      val n = if (giants(name) && dir == bigDir) 3 else 2
+      val ts = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         try { exec(name, dir); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
       dropCached()
-      val ok = ts.filter(_ >= 0)
-      if (ok.isEmpty) -1.0 else ok.min
+      ts
+    }
+    def score(name: String, ts: Seq[Double]): Double = {
+      val ok = ts.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (giants(name) && ok.size >= 3) ok(ok.size / 2) // median
+      else ok.min
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val rows = names.map { n =>
-      val tSmall = time(n, smallDir)
-      val tBig = time(n, bigDir)
+      val rawSmall = passes(n, smallDir)
+      val rawBig = passes(n, bigDir)
+      val tSmall = score(n, rawSmall)
+      val tBig = score(n, rawBig)
       val ratio = if (tSmall > 0 && tBig > 0) tBig / tSmall else -1.0
       System.err.println(f"SCALE $n%-34s small=${f3(tSmall)}s big=${f3(tBig)}s ratio=${f3(ratio)}")
-      s""""$n":{"small":${f3(tSmall)},"big":${f3(tBig)},"ratio":${f3(ratio)}}"""
+      s""""$n":{"small":${f3(tSmall)},"big":${f3(tBig)},"ratio":${f3(ratio)},""" +
+        s""""raw_small":[${rawSmall.map(f3).mkString(",")}],""" +
+        s""""raw_big":[${rawBig.map(f3).mkString(",")}]}"""
     }
-    val line = s"""{"metric":"scale_ratio","small":"$smallDir","big":"$bigDir","queries":{${rows.mkString(",")}}}"""
+    val line = s"""{"metric":"scale_ratio","small":"$smallDir","big":"$bigDir","score":"min; median-of-3 big-side for q35/q79","queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_LOCAL.json"), line + "\n")
     spark.stop()
     println(line)
