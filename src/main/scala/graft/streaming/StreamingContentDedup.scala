@@ -16,19 +16,27 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * one on content sketches.
   *
   * Store layout (`<dir>/sketches`, `<dir>/docs`): parquet PARTITIONED BY
-  * the writing batch id. A batch's dedup read EXCLUDES its own partition
-  * and its write dynamically overwrites exactly that partition, so a
-  * replayed batch (crash after a partial or complete write) recomputes the
-  * same fresh set against the same prior corpus and rewrites its partition
-  * in place — idempotent with no swap choreography, because the store is
-  * append-only by construction (batch partitions never overlap).
+  * the writing batch id — and the sketch store additionally by the LSH
+  * `cell` (BandIndexStore.cellOf: band × bkey-sub-bucket, 32 values). A
+  * batch's dedup read EXCLUDES its own partition and its write
+  * dynamically overwrites exactly its partitions, so a replayed batch
+  * (crash after a partial or complete write) recomputes the same fresh
+  * set against the same prior corpus and rewrites its partitions in
+  * place — idempotent with no swap choreography, because the store is
+  * append-only by construction (batch partitions never overlap; a replay
+  * is deterministic, so it covers exactly the cells a partial write
+  * touched).
   *
-  * Scale shape: the probe is an equi-join on (band, bkey) — at 100 TB the
-  * sketch store is bucketed by band key so the probe shuffles only the
-  * (small) batch side; the jaccard verify touches candidate pairs only,
-  * never the corpus. Documents with fewer than ShingleN tokens have no
-  * shingles, hence no bands, and are always admitted (documented q34
-  * semantics: sketch dedup is for prose, not fragments).
+  * Scale shape: the probe is an equi-join on (band, bkey), and the
+  * corpus side is PARTITION-PRUNED to the cells the batch actually
+  * touches before any task launches (the batch's cell list is bounded by
+  * the 32-value cell domain — a driver-side constant, same mechanics as
+  * BandIndexStore.probe): sketches of prior docs in untouched cells are
+  * never read, so per-batch probe IO scales with the batch's cell
+  * footprint, not the corpus. The jaccard verify touches candidate pairs
+  * only, never the corpus. Documents with fewer than ShingleN tokens
+  * have no shingles, hence no bands, and are always admitted (documented
+  * q34 semantics: sketch dedup is for prose, not fragments).
   */
 object StreamingContentDedup {
 
@@ -52,6 +60,8 @@ object StreamingContentDedup {
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("hs"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .withColumn("cell",
+        graft.operators.BandIndexStore.cellOf(col("band"), col("bkey")))
   }
 
   private def readStore(spark: SparkSession, dir: String,
@@ -70,11 +80,17 @@ object StreamingContentDedup {
       size(array_intersect(col("a_hs"), col("b_hs"))).cast("double") /
         size(array_union(col("a_hs"), col("b_hs"))), 6)
 
-    // candidates vs the prior corpus (own partition excluded — replay safety)
+    // candidates vs the prior corpus (own partition excluded — replay
+    // safety), partition-pruned to the batch's touched cells: the cell
+    // list is bounded by the 32-value domain, inlined as literals so the
+    // prune happens before task launch (BandIndexStore.probe mechanics)
+    val touchedCells = sk.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
     val corpusDups = readStore(spark, s"$storeDir/sketches", batchId) match {
       case None => spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
       case Some(corpus) =>
-        sk.join(corpus.select(col("band"), col("bkey"),
+        sk.join(corpus.filter(col("cell").isin(touchedCells.map(Int.box): _*))
+            .select(col("band"), col("bkey"),
             col("hs").as("b_hs")), Seq("band", "bkey"))
           .select(col("doc_id"), col("hs").as("a_hs"), col("b_hs"))
           .distinct()
@@ -100,10 +116,14 @@ object StreamingContentDedup {
       .withColumn("batch", lit(batchId))
     val freshDocs = batch.join(freshIds, Seq("doc_id"))
       .withColumn("batch", lit(batchId))
-    // dynamic partition overwrite: only this batch's partition is replaced;
-    // an all-dup batch writes nothing and leaves the store untouched
-    for ((df, sub) <- Seq((freshSk, "sketches"), (freshDocs, "docs")))
-      df.write.partitionBy("batch")
+    // dynamic partition overwrite: only this batch's partitions are
+    // replaced; an all-dup batch writes nothing and leaves the store
+    // untouched. Sketches nest cell under batch so future batches' probes
+    // prune on it (batch=N/cell=C directories).
+    for ((df, sub, parts) <- Seq(
+        (freshSk, "sketches", Seq("batch", "cell")),
+        (freshDocs, "docs", Seq("batch"))))
+      df.write.partitionBy(parts: _*)
         .option("partitionOverwriteMode", "dynamic")
         .mode(SaveMode.Overwrite).parquet(s"$storeDir/$sub")
     sk.unpersist()

@@ -322,6 +322,22 @@ class StreamingSpec extends SparkSpec {
     assert(sk.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
     assert(sk.groupBy("doc_id").count().select("count").as[Long]
       .collect().forall(_ == graft.functions.HashFunctions.NumBands))
+    // sketches are cell-partitioned under the batch (batch=N/cell=C dirs)
+    // so a later batch's corpus probe partition-prunes on the cells it
+    // touches — same physical contract as BandIndexStore (BandIndexSpec)
+    val batchDirs = new java.io.File(s"$store/sketches").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batchDirs.exists(_.startsWith("batch=")))
+    assert(batchDirs.forall(d => !d.startsWith("batch=") ||
+      new java.io.File(s"$store/sketches/$d").listFiles()
+        .filter(_.isDirectory).forall(_.getName.startsWith("cell="))))
+    val someCell = sk.select("cell").as[Int].head()
+    val prunedPlan = sk.filter(col("cell") === someCell)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(prunedPlan.contains("PartitionFilters") &&
+      prunedPlan.contains("cell"),
+      s"cell filter did not become a partition filter:\n$prunedPlan")
   }
 
   test("checkpoint-resume: restarted query does not recount processed data") {
