@@ -18,6 +18,15 @@ object Bench {
       // UTC like Verify/ScaleBench/the specs: the NTZ→instant cast in the
       // events loader and every date_format output are session-tz-dependent
       .config("spark.sql.session.timeZone", "UTC")
+      // The generated-class cache defaults to 100 entries; a 120-query
+      // suite (several codegen stages each) evicts continuously, so every
+      // pass re-Janino-compiles most operators — compile churn + class-
+      // loader/metaspace growth is a prime suspect for the position-
+      // dependent pass aging measured 2026-08-13 (ascending 79.3 s vs
+      // young-JVM reversed 69.7 s; pass totals 87→113 s inside one run).
+      // Size it to hold the whole suite (static conf, driver memory only
+      // — a long-running service with this workload would do the same).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       // Shuffle/spill dirs on tmpfs when available: the bench box's VM
       // disk has bursty writeback stalls that inflate shuffle-heavy
@@ -101,15 +110,27 @@ object Bench {
     // 5-10× inflation on CPU-bound queries from machine contention
     // (unreproducible locally — q34 9.0s driver vs 1.4s steady-state);
     // best-of-2 reports the steady state a contended single pass can't.
-    def onePass(): Seq[(String, Double)] = ordered.map { case (name, _) =>
-      val t0 = System.nanoTime()
-      // A query that throws must NOT time as "fast": record a -1.0 sentinel
-      // so a failure is distinguishable from a genuinely quick query.
-      val dt =
-        try { exec(name, sfDir); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      dropCached()
-      name -> dt
+    // ALTERNATING DIRECTION (round 6): a query's in-suite time grows with
+    // its POSITION in the pass (JVM aging — generated-class/heap debt the
+    // per-query GC doesn't recover), and the tax lands on whatever runs
+    // late: same code+box+day, probes clean, ascending passes totalled
+    // 79.3/79.1 s with q34 3.3-3.8 s while a reversed pass totalled
+    // 69.7 s with q34 at its isolated 1.4 s. Running pass 2 in reverse
+    // gives every query one young-JVM draw, so the per-query MIN is a
+    // position-independent steady-state estimate; per-query times stay
+    // comparable across rounds (same estimator, better sampling).
+    def onePass(reversed: Boolean): Seq[(String, Double)] = {
+      val seq = if (reversed) ordered.reverse else ordered
+      seq.map { case (name, _) =>
+        val t0 = System.nanoTime()
+        // A query that throws must NOT time as "fast": record a -1.0
+        // sentinel so a failure is distinguishable from a quick query.
+        val dt =
+          try { exec(name, sfDir); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        dropCached()
+        name -> dt
+      }
     }
     // Calibration probes: TWO fixed-work jobs (no IO, no shuffle) timed
     // before and after the measured passes. Their nominal times are a
@@ -161,10 +182,13 @@ object Bench {
     // inflated number than none).
     // Nominal upper bounds per BASELINE.md "Reading a bench artifact"
     // (probe times are a property of the machine and core count, re-
-    // baselined via graft.ProbeOnly): cpu 0.30 s / alloc 0.47 s at >=16
-    // cores, 0.45 / 0.80 at fewer.
+    // baselined via graft.ProbeOnly). Tightened for the suite-sized
+    // codegen cache (2026-08-13): with compiled probe classes cached,
+    // quiet samples read cpu 0.07-0.16 / alloc 0.17-0.22 at 32 cores —
+    // the old 0.30/0.47 bounds (which absorbed recompile cost) would let
+    // a 2-3x contended probe pass as nominal.
     val (nomCpu, nomAlloc) =
-      if (cpus.toInt >= 16) (0.30, 0.47) else (0.45, 0.80)
+      if (cpus.toInt >= 16) (0.20, 0.35) else (0.45, 0.80)
     val gate = 1.5
     def hot(p: (Double, Double)): Boolean =
       p._1 > nomCpu * gate || p._2 > nomAlloc * gate
@@ -176,7 +200,7 @@ object Bench {
       scala.collection.mutable.ListBuffer[(Seq[(String, Double)], Boolean)]()
     probesBuf += probe()
     while (passesBuf.count(!_._2) < targetClean && passesBuf.size < maxPasses) {
-      val p = onePass()
+      val p = onePass(reversed = passesBuf.size % 2 == 1)
       probesBuf += probe()
       val contended = hot(probesBuf(probesBuf.size - 2)) || hot(probesBuf.last)
       passesBuf += ((p, contended))

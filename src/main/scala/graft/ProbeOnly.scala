@@ -14,6 +14,9 @@ object ProbeOnly {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench's codegen-cache sizing — this tool re-baselines
+      // Bench's probe nominals, so the sessions must be conf-identical
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -18,6 +18,7 @@ object Profile {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       // tmpfs shuffle dirs, same rationale as Bench (VM-disk writeback
       // storms inflate shuffle-heavy queries 2-3x at random); per-PID dir

@@ -38,6 +38,7 @@ object ScaleBench {
       // them back for the small queries, so nothing else changes.
       .config("spark.sql.shuffle.partitions", (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       // per-PID tmpfs dir with entry/exit cleanup (ShmDir): the old fixed
       // graft-scale dir was never cleaned, so stale shuffle files from

@@ -12,6 +12,9 @@ trait SparkSpec extends AnyFunSuite {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // suite-sized generated-class cache (default 100 evicts continuously
+      // across 17 suites sharing this JVM — same churn Bench measured)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // deterministic extension install (suites share one JVM session;
