@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.GraftQuery
 import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate (sketch) aggregates — the operators a 100-TB corpus-stats
@@ -12,66 +13,138 @@ import org.apache.spark.sql.functions._
   * no global sort (exact percentiles, q55) and no distinct shuffle of the
   * full key set (exact distinct counts, q15/q109).
   *
-  * Sketch internals hash differently per engine, so neither query can be
-  * DuckDB-hash-matched; they register with `oracle = None` and carry
-  * BOUNDED-RELATIVE-ERROR contracts vs their exact twins instead
-  * (SketchSpec) — the house pattern from q118's exhaustive-rank pin. The
-  * exact twins (q15 distinct counts, q55 percentiles, q109 vocabulary)
-  * remain fully hash-matched registry rows.
+  * Sketch ESTIMATES hash engine-specifically (HLL register layout / GK
+  * summary construction differ between Spark and DuckDB), so the raw
+  * estimate can never ride the driver's exact hash compare. Round-7 split
+  * (VERDICT r6 "Next round" #4):
+  *
+  *  - the PURE sketch queries live here as [[approxDistinct]] /
+  *    [[approxQuantile]] — the production 100-TB shape, pinned by
+  *    SketchSpec's bounded-relative-error / rank-epsilon contracts and the
+  *    partial+final plan-shape assertion, and by check_oracle.py's
+  *    tolerance mode (bounded_match) for cross-engine evidence;
+  *  - the REGISTRY rows q122/q123 run the same sketch and CHECK ITS ERROR
+  *    CONTRACT IN-QUERY against the exact aggregate, emitting the exact
+  *    value plus a boolean verdict per bound. That output is deterministic
+  *    and engine-portable, so the driver's stock hash gate can verify it
+  *    (an out-of-bound sketch flips the boolean → hash mismatch → FAIL).
+  *    The exact twin rides alongside the sketch only in this gate query;
+  *    the helper remains the scale path.
   */
 object SketchOps {
 
-  /** q122 — HLL distinct-cardinality profile of the documents corpus:
-    * approx distinct tokens per language plus the corpus-wide approx
-    * distinct-token and distinct-doc-fingerprint counts, all at rsd=0.02
-    * (HLL++ with ~2% standard error; the contract test asserts 3σ).
-    * Scale: the exact form shuffles every distinct token once (q109's
-    * vocabulary build); this shuffles a fixed ~12 KB of registers per
-    * group regardless of corpus size — the difference between "a second
-    * pass over 100 TB" and "free alongside any other aggregate". */
+  /** Pure HLL distinct-cardinality profile (the 100-TB shape): approx
+    * distinct tokens per language plus the corpus-wide count, rsd=0.02
+    * (~2% standard error). Scale: the exact form shuffles every distinct
+    * token once (q109's vocabulary build); this shuffles a fixed ~12 KB of
+    * registers per group regardless of corpus size — the difference
+    * between "a second pass over 100 TB" and "free alongside any other
+    * aggregate". Output: (lang, approx_tokens). */
+  def approxDistinct(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val toks = t(s, d, "documents")
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("tok"))
+    val perLang = toks.groupBy(col("lang"))
+      .agg(approx_count_distinct(col("tok"), 0.02).as("approx_tokens"))
+    val global = toks.agg(
+      lit("__all__").as("lang"),
+      approx_count_distinct(col("tok"), 0.02).as("approx_tokens"))
+    perLang.unionByName(global).orderBy(col("lang"))
+  }
+
+  /** Pure GK-sketch quantile profile (the 100-TB shape): p25/p50/p75/p95
+    * of order totals per order-priority at accuracy 1000 (rank error
+    * <= 0.1%). The exact twin (q55) is a per-group sort; this is one pass
+    * building a bounded mergeable summary per group — the only percentile
+    * shape that survives a 100-TB group-by.
+    * Output: (o_orderpriority, p25, p50, p75, p95, n). */
+  def approxQuantile(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95), 1000)")
+          .as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        col("qs").getItem(0).as("p25"), col("qs").getItem(1).as("p50"),
+        col("qs").getItem(2).as("p75"), col("qs").getItem(3).as("p95"),
+        col("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q122 — HLL error-contract gate: per language (and corpus-wide), the
+    * exact distinct-token count plus `within_3sigma` = whether the HLL
+    * estimate (rsd 0.02 → 3σ = 6% relative error) sits inside its
+    * documented bound of the exact value. Deterministic and exact-hashable
+    * cross-engine, with the sketch itself on the hot path of the verdict. */
   val q122 = GraftQuery(
     "q122_approx_distinct_hll",
     (s, d) => {
       import graft.functions.TextFunctions.tokens
       val toks = t(s, d, "documents")
-        .select(col("lang"), col("doc_id"), col("text"),
-          explode(tokens(lower(col("text")))).as("tok"))
+        .select(col("lang"), explode(tokens(lower(col("text")))).as("tok"))
       val perLang = toks.groupBy(col("lang"))
-        .agg(approx_count_distinct(col("tok"), 0.02).as("approx_tokens"))
+        .agg(approx_count_distinct(col("tok"), 0.02).as("approx"),
+          countDistinct(col("tok")).as("exact_tokens"))
       val global = toks.agg(
         lit("__all__").as("lang"),
-        approx_count_distinct(col("tok"), 0.02).as("approx_tokens"))
-      perLang.unionByName(global).orderBy(col("lang"))
+        approx_count_distinct(col("tok"), 0.02).as("approx"),
+        countDistinct(col("tok")).as("exact_tokens"))
+      perLang.unionByName(global)
+        .select(col("lang"), col("exact_tokens"),
+          (abs(col("approx") - col("exact_tokens")).cast("double") <=
+            col("exact_tokens").cast("double") * 0.06).as("within_3sigma"))
+        .orderBy(col("lang"))
     },
-    None,
-    note = "HLL sketch — engine-specific hashing, no SQL twin; " +
-      "3σ relative-error contract vs exact distinct counts in SketchSpec")
+    Some("""WITH toks AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+                          FROM documents),
+            g AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_tokens
+                  FROM toks GROUP BY lang
+                  UNION ALL
+                  SELECT '__all__' AS lang, CAST(count(DISTINCT tok) AS BIGINT)
+                  FROM toks)
+            SELECT lang, exact_tokens, TRUE AS within_3sigma
+            FROM g ORDER BY lang"""),
+    note = "HLL estimate is engine-hashed, so the registry row checks the " +
+      "3σ error CONTRACT in-query (boolean verdict + exact count are " +
+      "portable); pure sketch shape = approxDistinct, pinned by SketchSpec")
 
-  /** q123 — GK-sketch quantile profile: p25/p50/p75/p95 of order totals
-    * per order-priority at accuracy 1000 (rank error <= 0.1%). Scale: the
-    * exact twin (q55) is a per-group sort; this is one pass building a
-    * bounded summary per group, mergeable across partitions — the only
-    * percentile shape that survives a 100-TB group-by. Contract test
-    * asserts the RANK of each approximate answer is within the sketch's
-    * documented epsilon of its target quantile. */
+  /** q123 — GK-quantile error-contract gate: per order-priority, the exact
+    * group count plus one boolean per quantile asserting the approximate
+    * answer's RANK in the exact value multiset lies within the sketch's
+    * epsilon (1/1000, +0.0005 discreteness slack) of its target. Same
+    * contract SketchSpec asserts in-JVM, made cross-engine-checkable. */
   val q123 = GraftQuery(
     "q123_approx_quantile_sketch",
     (s, d) => {
-      t(s, d, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95), 1000)")
-            .as("qs"),
-          count(lit(1)).as("n"))
-        .select(col("o_orderpriority"),
-          col("qs").getItem(0).as("p25"), col("qs").getItem(1).as("p50"),
-          col("qs").getItem(2).as("p75"), col("qs").getItem(3).as("p95"),
-          col("n"))
+      val eps = 0.0015
+      val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+      val ap = approxQuantile(s, d)
+      // rank check: one broadcast of the 5-row sketch output back over
+      // orders; below/atOrBelow are map-side sums, one exchange per agg
+      val joined = t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"))
+        .join(broadcast(ap), "o_orderpriority")
+      val rankAggs = qs.flatMap { case (_, nm) =>
+        Seq(
+          sum(when(col("o_totalprice") < col(nm), 1L).otherwise(0L)).as(s"below_$nm"),
+          sum(when(col("o_totalprice") <= col(nm), 1L).otherwise(0L)).as(s"le_$nm"))
+      }
+      val okCols = qs.map { case (q, nm) =>
+        ((col(s"below_$nm").cast("double") / col("n") <= q + eps) &&
+          (col(s"le_$nm").cast("double") / col("n") >= q - eps)).as(s"${nm}_ok")
+      }
+      val aggs = first(col("n")).as("n") +: rankAggs
+      joined.groupBy(col("o_orderpriority"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("o_orderpriority") +: col("n") +: okCols: _*)
         .orderBy(col("o_orderpriority"))
     },
-    None,
-    note = "GK quantile sketch — no SQL twin; rank-error contract vs " +
-      "exact percentiles in SketchSpec")
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                   TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p95_ok
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    note = "GK estimate is engine-built, so the registry row checks the " +
+      "rank-epsilon CONTRACT in-query; pure sketch shape = approxQuantile, " +
+      "pinned by SketchSpec")
 
   val all: Seq[GraftQuery] = Seq(q122, q123)
 }

@@ -1,33 +1,28 @@
 package graft
 
 import graft.operators.SketchOps
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
 
-/** Bounded-relative-error contracts for the sketch aggregates (q122/q123)
-  * vs their EXACT twins — the correctness discipline for the two registry
-  * entries that cannot hash-match a cross-engine oracle by construction
-  * (HLL / GK internals hash engine-specifically). Same house pattern as
-  * q118's exhaustive-rank pin: the approximate answer must sit provably
-  * close to the exact one, at every scale factor the suite tests.
+/** Bounded-relative-error contracts for the sketch aggregates vs their
+  * EXACT twins. The PURE sketch shapes (SketchOps.approxDistinct /
+  * approxQuantile — the 100-TB production forms) are pinned here at value
+  * level, since their estimates hash engine-specifically and can never ride
+  * a cross-engine hash gate. The REGISTRY rows q122/q123 check the same
+  * contracts in-query (boolean verdicts + exact aggregates, portable) and
+  * are asserted all-green below; the driver's DuckDB oracle re-checks them
+  * bit-for-bit. Shares SparkSpec's session — a suite-private builder here
+  * would pin the JVM-global codegen cache at the 100-entry default if this
+  * suite ran first (ADVICE r6).
   */
-class SketchSpec extends AnyFunSuite {
+class SketchSpec extends SparkSpec {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private val sfDir = "/root/testdata/sf0.01"
 
-  private val sf = "/root/testdata/sf0.01"
-
-  test("q122 HLL distinct counts within 3 sigma of exact (rsd = 0.02)") {
+  test("HLL distinct counts within 3 sigma of exact (rsd = 0.02)") {
     import graft.functions.TextFunctions.tokens
-    val approx = SketchOps.q122.fn(spark, sf).collect()
+    val approx = SketchOps.approxDistinct(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val toks = Tables.t(spark, sf, "documents")
+    val toks = Tables.t(spark, sfDir, "documents")
       .select(col("lang"), explode(tokens(lower(col("text")))).as("tok"))
     val exactPerLang = toks.groupBy(col("lang"))
       .agg(countDistinct(col("tok")).as("n")).collect()
@@ -42,10 +37,10 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
-  test("q123 GK quantiles: every answer's rank within epsilon of target") {
-    val rows = SketchOps.q123.fn(spark, sf).collect()
+  test("GK quantiles: every answer's rank within epsilon of target") {
+    val rows = SketchOps.approxQuantile(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    val orders = Tables.t(spark, sf, "orders")
+    val orders = Tables.t(spark, sfDir, "orders")
     // accuracy 1000 -> rank error <= 1/1000; +0.0005 discreteness slack
     val eps = 0.0015
     for (r <- rows) {
@@ -62,24 +57,39 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("registry gate rows q122/q123: every in-query contract verdict true") {
+    // the driver's hash oracle compares these outputs bit-for-bit against
+    // all-TRUE twins; assert the same here so a contract break fails fast
+    val r122 = SketchOps.q122.fn(spark, sfDir).collect()
+    assert(r122.nonEmpty)
+    r122.foreach(r => assert(r.getBoolean(2), s"q122 out of bound: $r"))
+    val r123 = SketchOps.q123.fn(spark, sfDir).collect()
+    assert(r123.nonEmpty)
+    r123.foreach { r =>
+      (2 to 5).foreach(i => assert(r.getBoolean(i), s"q123 out of bound: $r"))
+    }
+  }
+
   test("sketch plans are partial+final aggregations (mergeable at scale)") {
-    // the 100-TB property: the sketch is built map-side (partial_ mode)
-    // and merged — ONE exchange per aggregate, carrying fixed-size
-    // sketches, never the raw keys; the only sorts sit above the
-    // aggregated (group-cardinality) rows.
-    for (q <- Seq(SketchOps.q122, SketchOps.q123)) {
-      val plan = q.fn(spark, sf).queryExecution.executedPlan
-      val s = plan.toString
+    // the 100-TB property, asserted on the PURE sketch shapes: the sketch
+    // is built map-side (partial_ mode) and merged — ONE exchange per
+    // aggregate, carrying fixed-size sketches, never the raw keys; the
+    // only sorts sit above the aggregated (group-cardinality) rows.
+    for ((nm, df) <- Seq(
+        "approxDistinct" -> SketchOps.approxDistinct(spark, sfDir),
+        "approxQuantile" -> SketchOps.approxQuantile(spark, sfDir))) {
+      val s = df.queryExecution.executedPlan.toString
       assert(s.contains("partial_approx_count_distinct") ||
              s.contains("partial_approx_percentile"),
-        s"${q.name}: no map-side partial sketch in plan\n$s")
+        s"$nm: no map-side partial sketch in plan\n$s")
       val exchanges = s.linesIterator.count(_.contains("Exchange"))
-      // q122: per-lang agg + global agg + ordered output of <= |langs|+1
-      // rows; q123: one agg + ordered output of |priorities| rows. The
-      // post-aggregate sorts move group-cardinality rows, not data.
-      val maxEx = if (q.name.startsWith("q122")) 3 else 2
+      // approxDistinct: per-lang agg + global agg + ordered output of
+      // <= |langs|+1 rows; approxQuantile: one agg + ordered output of
+      // |priorities| rows. Post-aggregate sorts move group-cardinality
+      // rows, not data.
+      val maxEx = if (nm == "approxDistinct") 3 else 2
       assert(exchanges <= maxEx,
-        s"${q.name}: $exchanges exchanges (expected <= $maxEx)\n$s")
+        s"$nm: $exchanges exchanges (expected <= $maxEx)\n$s")
     }
   }
 }

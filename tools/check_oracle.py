@@ -32,10 +32,15 @@ for t in ["region","nation","customer","supplier","part","orders",
 with open(f"{OUT_DIR}/oracle_sql.json") as f:
     oracles = json.load(f)
 
-# Bounded-error oracle specs for the sketch queries: their internals hash
+# Bounded-error oracle specs for PURE sketch dumps: sketch internals hash
 # engine-specifically (HLL registers / GK summaries), so no exact hash twin
 # exists by construction — but the ESTIMATE is still cross-engine checkable
 # against DuckDB's exact answer within the sketch's documented error bound.
+# As of round 7 the registry rows q122/q123 check their error contract
+# IN-QUERY (boolean verdicts + exact aggregates) and ride the exact-oracle
+# path above like every other query; these specs remain as the tolerance
+# fallback for dumps of the pure sketch shapes (SketchOps.approxDistinct /
+# approxQuantile), which only fire when a dump has no oracle_sql entry.
 # Contracts mirror SketchSpec.scala exactly (same tolerances, same rank
 # semantics), so the in-JVM test and the cross-engine gate assert one
 # contract. "relative": join spark vs exact on `key`, each col within
