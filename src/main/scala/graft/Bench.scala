@@ -190,22 +190,59 @@ object Bench {
     val (nomCpu, nomAlloc) =
       if (cpus.toInt >= 16) (0.20, 0.35) else (0.45, 0.80)
     val gate = 1.5
-    def hot(p: (Double, Double)): Boolean =
+    // SELF-RELATIVE gate (round 7): the r6 driver artifact passed all-
+    // nominal probes yet sat a uniform 1.38x above the same-day quiet
+    // snapshot — the absolute nominals are loose upper bounds for a box
+    // whose true quiet cpu-probe is ~0.11 s, so mild steal slips under
+    // them. A probe sample is now also judged against the RUN'S OWN BEST
+    // sample (min over every probe taken this run): the effective bound
+    // per metric is min(nominal x 1.5, run_min x 1.4). The run minimum
+    // only tightens as samples arrive, so pass verdicts are re-evaluated
+    // from stored probe INDICES after every sample (a pass judged clean
+    // against an early inflated minimum must not stay clean once a quiet
+    // sample lands). A uniformly-contended run (every sample inflated)
+    // still falls to the absolute bound — the two gates are complementary.
+    val selfGate = 1.4
+    // probe samples + passes; each pass records the INDICES of its
+    // bracketing probe samples so contended verdicts can be re-derived
+    // from the current run minimum at any time
+    val probesBuf = scala.collection.mutable.ListBuffer[(Double, Double)]()
+    val passesBuf =
+      scala.collection.mutable.ListBuffer[(Seq[(String, Double)], Int, Int)]()
+    def runMin: (Double, Double) =
+      (probesBuf.map(_._1).min, probesBuf.map(_._2).min)
+    def hotAbs(p: (Double, Double)): Boolean =
       p._1 > nomCpu * gate || p._2 > nomAlloc * gate
+    def hotSelf(p: (Double, Double)): Boolean = {
+      val (mc, ma) = runMin
+      p._1 > mc * selfGate || p._2 > ma * selfGate
+    }
     def probe(): (Double, Double) = (calibCpu(), calibAlloc())
     val maxPasses = 4
     val targetClean = 2
-    val probesBuf = scala.collection.mutable.ListBuffer[(Double, Double)]()
-    val passesBuf =
-      scala.collection.mutable.ListBuffer[(Seq[(String, Double)], Boolean)]()
+    // A pass is contended if EITHER bracketing sample breaches the
+    // absolute nominal (hard contention), or BOTH breach the self-relative
+    // bound (the quiet r6 run's own cpu samples spread 1.6x — 0.068..0.110
+    // — so a single sample over run_min x 1.4 is probe noise, while a
+    // sustained-steal episode inflates both brackets of the pass it hits).
+    def contendedFlags: Seq[Boolean] =
+      passesBuf.toSeq.map { case (_, b, a) =>
+        hotAbs(probesBuf(b)) || hotAbs(probesBuf(a)) ||
+          (hotSelf(probesBuf(b)) && hotSelf(probesBuf(a)))
+      }
+    def cleanCount: Int = contendedFlags.count(!_)
     probesBuf += probe()
-    while (passesBuf.count(!_._2) < targetClean && passesBuf.size < maxPasses) {
-      val p = onePass(reversed = passesBuf.size % 2 == 1)
+    while (cleanCount < targetClean && passesBuf.size < maxPasses) {
+      // direction keyed to the count of CLEAN passes (ADVICE r6): keying
+      // on total passes let a contended reversed pass leave both clean
+      // passes ascending, losing the young-JVM draw for late queries
+      val p = onePass(reversed = cleanCount % 2 == 1)
+      val before = probesBuf.size - 1
       probesBuf += probe()
-      val contended = hot(probesBuf(probesBuf.size - 2)) || hot(probesBuf.last)
-      passesBuf += ((p, contended))
+      passesBuf += ((p, before, probesBuf.size - 1))
     }
-    val allPasses = passesBuf.toSeq
+    val finalFlags = contendedFlags
+    val allPasses = passesBuf.toSeq.map(_._1).zip(finalFlags)
     val cleanPasses = allPasses.filter(!_._2).map(_._1)
     val scored = if (cleanPasses.nonEmpty) cleanPasses else allPasses.map(_._1)
     val results = ordered.map(_._1).map { name =>
@@ -223,13 +260,55 @@ object Bench {
     val qs = qmap(results)
     val total = results.map(_._2).sum
     // Calibration block: every probe sample (cpu/alloc pairs bracketing
-    // each pass), the nominals+gate the pass verdicts were judged by, and
-    // the per-pass contended flags. A reader no longer needs BASELINE.md
+    // each pass), the nominals+gate the pass verdicts were judged by, the
+    // run's own best samples (the self-relative reference), and the
+    // per-pass contended flags. A reader no longer needs BASELINE.md
     // open to tell a clean artifact from a polluted one — "contended":
     // [false,false] and clean_passes>=1 IS the claim, auditable from the
     // raw samples in the same record.
+    val (rmCpu, rmAlloc) = runMin
     val calib =
-      s""""calibration":{"cpu":[${probesBuf.map(p => f3(p._1)).mkString(",")}],"alloc":[${probesBuf.map(p => f3(p._2)).mkString(",")}],"nominal_cpu":$nomCpu,"nominal_alloc":$nomAlloc,"gate":$gate,"contended":[${allPasses.map(_._2).mkString(",")}],"clean_passes":${cleanPasses.size}}"""
+      s""""calibration":{"cpu":[${probesBuf.map(p => f3(p._1)).mkString(",")}],"alloc":[${probesBuf.map(p => f3(p._2)).mkString(",")}],"nominal_cpu":$nomCpu,"nominal_alloc":$nomAlloc,"gate":$gate,"self_gate":$selfGate,"run_min_cpu":${f3(rmCpu)},"run_min_alloc":${f3(rmAlloc)},"contended":[${allPasses.map(_._2).mkString(",")}],"clean_passes":${cleanPasses.size}}"""
+    // Quiet-reference comparison (round 7): probes bound CPU steal, but
+    // the r6 driver run showed a residual ~1.38x query-time inflation the
+    // probes never saw (box-speed delta / contention in a mode the probe
+    // workloads don't exercise). The committed quiet snapshot
+    // (BENCH_QUIET_REF.json — per-query seconds from a verified-quiet
+    // same-code run) is the reference the verdict compared against by
+    // hand; comparing IN the artifact makes the residual delta part of
+    // the record: median per-query ratio over shared queries >= 50 ms on
+    // both sides (median, not mean — a genuine single-query regression
+    // must not read as box-wide inflation), flagged when > 1.15.
+    val quietRef: Option[Map[String, Double]] =
+      try {
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("BENCH_QUIET_REF.json"))
+        // the snapshot is only a reference for the SAME scale factor —
+        // a dev run at sf0.001 must not "compare" against the sf0.1 ref
+        val refSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        if (!refSf.contains(sfDir)) None
+        else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+          .map(_.split(",").flatMap { kv =>
+            kv.split(":") match {
+              case Array(k, v) =>
+                try Some(k.replace("\"", "") -> v.toDouble)
+                catch { case _: Throwable => None }
+              case _ => None
+            }
+          }.toMap)
+      } catch { case _: Throwable => None }
+    val quietBlock = quietRef.map { ref =>
+      val shared = results.filter { case (n, t) =>
+        t >= 0.05 && ref.get(n).exists(_ >= 0.05) }
+      if (shared.isEmpty) """"quiet_ref":{"shared":0}"""
+      else {
+        val ratios = shared.map { case (n, t) => t / ref(n) }.sorted
+        val med = ratios(ratios.size / 2)
+        val tot = shared.map(_._2).sum
+        val refTot = shared.map { case (n, _) => ref(n) }.sum
+        s""""quiet_ref":{"shared":${shared.size},"total":${f3(tot)},"ref_total":${f3(refTot)},"median_query_ratio":${f3(med)},"residual_inflation":${med > 1.15}}"""
+      }
+    }.getOrElse(""""quiet_ref":{"shared":0}""")
     // Full per-query map + ALL raw passes go to the file only: with 100+
     // queries the one-line form exceeds the driver's bounded stdout-tail
     // window and the line gets front-truncated → BENCH parsed:null (rounds
@@ -238,10 +317,10 @@ object Bench {
     // total to a single contended pass instead of guessing (r3's per-query
     // driver detail was lost; r4's couldn't separate pass-level noise).
     val fileLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},$calib,"queries":$qs,"passes":[${allPasses.map(p => qmap(p._1)).mkString(",")}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},$calib,$quietBlock,"queries":$qs,"passes":[${allPasses.map(p => qmap(p._1)).mkString(",")}],"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fileLine + "\n")
     val stdoutLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},$calib,"n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},$calib,$quietBlock,"n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
     spark.stop()
     // sole final stdout line (after spark.stop so no shutdown noise follows)
     println(stdoutLine)
