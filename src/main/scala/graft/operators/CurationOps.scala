@@ -25,6 +25,11 @@ object CurationOps {
     * lineage so round N's plan does not embed rounds 1..N-1, and the
     * per-round convergence check is a scalar count (the standard Pregel
     * driver hop, not a data collect). */
+  /** Superstep count of the most recent [[connectedComponents]] call on
+    * this JVM — diagnostic only (the q121 drift watch tracks whether a
+    * time shift is iteration-count growth vs per-superstep cost). */
+  @volatile private[graft] var lastSupersteps: Int = 0
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 50): DataFrame = {
     // symmetric neighbor list
@@ -58,6 +63,7 @@ object CurationOps {
       converged = changed == 0
       iter += 1
     }
+    lastSupersteps = iter
     comp
   }
 

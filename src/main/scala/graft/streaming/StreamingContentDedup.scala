@@ -70,6 +70,17 @@ object StreamingContentDedup {
     else Some(spark.read.parquet(dir).filter(col("batch") =!= excludeBatch))
   }
 
+  /** Cell-prune `corpus` when its layout carries the `cell` partition
+    * column; a store written by the pre-r6 layout (partitioned by batch
+    * only) has no such column and must fall back to the unpruned probe
+    * instead of throwing AnalysisException on the first resumed batch
+    * (ADVICE r6). New writes still land batch=N/cell=C, so an upgraded
+    * store becomes prunable as soon as it is rebuilt. */
+  private def cellPruned(corpus: DataFrame, cells: Seq[Int]): DataFrame =
+    if (corpus.columns.contains("cell"))
+      corpus.filter(col("cell").isin(cells.map(Int.box): _*))
+    else corpus
+
   /** One micro-batch: sketch → LSH probe vs prior corpus → jaccard verify →
     * within-batch dedup → idempotent partition write. */
   def processBatch(storeDir: String)(batch: DataFrame, batchId: Long): Unit = {
@@ -89,7 +100,7 @@ object StreamingContentDedup {
     val corpusDups = readStore(spark, s"$storeDir/sketches", batchId) match {
       case None => spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
       case Some(corpus) =>
-        sk.join(corpus.filter(col("cell").isin(touchedCells.map(Int.box): _*))
+        sk.join(cellPruned(corpus, touchedCells.toIndexedSeq)
             .select(col("band"), col("bkey"),
             col("hs").as("b_hs")), Seq("band", "bkey"))
           .select(col("doc_id"), col("hs").as("a_hs"), col("b_hs"))
@@ -133,6 +144,99 @@ object StreamingContentDedup {
   def start(docs: DataFrame, storeDir: String, checkpointDir: String): StreamingQuery =
     docs.writeStream
       .foreachBatch(processBatch(storeDir) _)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** INDEXED ingest — q125's incremental-near-dup contract as a stream
+    * over a persistent [[graft.operators.BandIndexStore]]-layout index
+    * (VERDICT r6 "Next round" #6: the streaming dedup and the persisted
+    * band index were two solutions to one problem; this is the pinned
+    * integration). Each micro-batch is sketched, PROBED against the index
+    * (band equi-join cell-pruned to the batch's touched cells; signature
+    * reads pruned to the candidates' hash cells — BandIndexStore.probe
+    * mechanics over the same two-table layout), its q125-shaped verdicts
+    * (doc_id, dup_of = min prior doc with jaccard >= threshold, jaccard)
+    * are written per batch, and then the WHOLE batch folds into the index
+    * — flag-don't-drop semantics, exactly q125's corpus growth, so batch
+    * N's verdicts equal q125 run with corpus = batches 0..N-1.
+    *
+    * Layout under `indexDir`: `bands` (doc_id, band, bkey) partitioned by
+    * (batch, cell); `sigs` ONE row per doc (doc_id, hs) partitioned by
+    * (batch, cell = sigCellOf(doc_id)); `verdicts` partitioned by batch.
+    * All three writes are dynamic-partition-overwrite of the batch's own
+    * deterministic partitions and every read excludes the writing batch,
+    * so a crash-replayed batch recomputes identical verdicts against the
+    * same prior index and rewrites its partitions in place — idempotent,
+    * same replay story as the sketch store above. */
+  def processBatchIndexed(indexDir: String, threshold: Double = 0.5)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.BandIndexStore.{cellOf, sigCellOf}
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val sk = sketched(batch).localCheckpoint()
+    val newBands = sk.select(col("doc_id").as("new_id"), col("band"),
+      col("bkey"), col("cell"))
+    val touched = newBands.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
+    val verdicts = readStore(spark, s"$indexDir/bands", batchId) match {
+      case None =>
+        batch.select(col("doc_id"), lit(-1L).as("dup_of"), lit(0.0).as("jaccard"))
+      case Some(bands) =>
+        val cand = newBands
+          .join(cellPruned(bands, touched)
+              .select(col("doc_id").as("old_id"), col("band"), col("bkey")),
+            Seq("band", "bkey"))
+          .select(col("new_id"), col("old_id")).distinct()
+          .localCheckpoint()
+        val sigCells = cand.select(sigCellOf(col("old_id")).as("cell"))
+          .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
+        val so = readStore(spark, s"$indexDir/sigs", batchId)
+          .map(cellPruned(_, sigCells))
+          .getOrElse(spark.emptyDataFrame
+            .select(lit(0L).as("doc_id"), lit(Array.empty[Long]).as("hs")).limit(0))
+          .select(col("doc_id").as("old_id"), col("hs").as("hso"))
+        val sn = sk.select(col("doc_id").as("new_id"), col("hs").as("hsn"))
+          .dropDuplicates("new_id")
+        val matches = cand.join(sn, "new_id").join(so, "old_id")
+          .select(col("new_id"), col("old_id"),
+            round(size(array_intersect(col("hsn"), col("hso"))).cast("double") /
+              size(array_union(col("hsn"), col("hso"))), 6).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+        val bestIds = matches.groupBy(col("new_id"))
+          .agg(min(col("old_id")).as("dup_of"))
+          .withColumnRenamed("new_id", "bn")
+        val best = bestIds.join(matches,
+            bestIds("bn") === matches("new_id") &&
+              bestIds("dup_of") === matches("old_id"))
+          .select(col("bn").as("new_id"), col("dup_of"), col("jaccard"))
+        batch.select(col("doc_id"))
+          .join(best, col("doc_id") === best("new_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+            coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+    }
+    val outBands = sk.select(col("doc_id"), col("band"), col("bkey"), col("cell"))
+      .withColumn("batch", lit(batchId))
+    val outSigs = sk.select(col("doc_id"), col("hs")).dropDuplicates("doc_id")
+      .withColumn("cell", sigCellOf(col("doc_id")))
+      .withColumn("batch", lit(batchId))
+    val outVerdicts = verdicts.withColumn("batch", lit(batchId))
+    for ((df, sub, parts) <- Seq(
+        (outBands, "bands", Seq("batch", "cell")),
+        (outSigs, "sigs", Seq("batch", "cell")),
+        (outVerdicts, "verdicts", Seq("batch"))))
+      df.write.partitionBy(parts: _*)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite).parquet(s"$indexDir/$sub")
+    sk.unpersist()
+  }
+
+  /** Bind the indexed-ingest stream (q125 verdicts + growing band index). */
+  def startIndexed(docs: DataFrame, indexDir: String, checkpointDir: String,
+                   threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .foreachBatch(processBatchIndexed(indexDir, threshold) _)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

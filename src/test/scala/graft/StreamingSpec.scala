@@ -340,6 +340,89 @@ class StreamingSpec extends SparkSpec {
       s"cell filter did not become a partition filter:\n$prunedPlan")
   }
 
+  test("indexed streaming ingest: verdicts match q125 batch-for-batch across restarts") {
+    // VERDICT r6 item 6 — StreamingContentDedup and BandIndexStore pinned
+    // together: micro-batches probe the PERSISTED two-table band index,
+    // emit q125-contract verdicts, and fold themselves in. Batch slices
+    // mirror BandIndexSpec's append test: C = corpus, A = %10==3,
+    // B = %10==7, so batch B's verdicts must equal the q125 registry row
+    // (whose corpus side is everything except B) bit-for-bit.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxstream").toString
+    val idx = s"$dir/index"
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def slice(p: Long => Boolean) = docs.filter(t => p(t._1)).toIndexedSeq
+    val mem = MemoryStream[(Long, String)]
+    def go(): Unit = {
+      // each go() is a NEW query resuming from the same checkpoint — every
+      // batch boundary in this test is also a restart boundary
+      val q = graft.streaming.StreamingContentDedup.startIndexed(
+        mem.toDF().toDF("doc_id", "text"), idx, s"$dir/ckpt")
+      q.awaitTermination()
+    }
+    mem.addData(slice(id => id % 10 != 3 && id % 10 != 7)); go() // batch 0: C
+    mem.addData(slice(_ % 10 == 3)); go()                        // batch 1: A
+    mem.addData(slice(_ % 10 == 7)); go()                        // batch 2: B
+    def verdicts(b: Long): Seq[(Long, Long, Double)] =
+      spark.read.parquet(s"$idx/verdicts").filter(col("batch") === b)
+        .select("doc_id", "dup_of", "jaccard").as[(Long, Long, Double)]
+        .collect().sortBy(_._1).toIndexedSeq
+    // batch 0 probed an empty index: every doc unique
+    assert(verdicts(0).nonEmpty && verdicts(0).forall(v => v._2 == -1L))
+    // batch 1's verdicts == BandIndexStore.probe over an index of C alone
+    val refDir = java.nio.file.Files.createTempDirectory("graft_idxref").toString
+    operators.BandIndexStore.build(spark, sf,
+      col("doc_id") % 10 =!= 3 && col("doc_id") % 10 =!= 7, refDir)
+    val refA = operators.BandIndexStore
+      .probe(spark, sf, col("doc_id") % 10 === 3, refDir)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toIndexedSeq
+    assert(verdicts(1) == refA, s"batch A: stream=${verdicts(1)} ref=$refA")
+    // batch 2's verdicts == the q125 registry row on the union corpus
+    val want = QueryRegistry.byName("q125_incremental_neardup").fn(spark, sf)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toIndexedSeq
+    assert(verdicts(2) == want, s"batch B: stream=${verdicts(2)} ref=$want")
+    // crash-replay idempotence: re-running batch 1 against the grown index
+    // (own partitions excluded from every read) must not change verdicts
+    // or duplicate index rows
+    val sigsBefore = spark.read.parquet(s"$idx/sigs").count()
+    graft.streaming.StreamingContentDedup.processBatchIndexed(idx)(
+      slice(_ % 10 == 3).toDF("doc_id", "text"), 1L)
+    assert(verdicts(1) == refA, "replayed batch changed its verdicts")
+    assert(spark.read.parquet(s"$idx/sigs").count() == sigsBefore)
+    assert(spark.read.parquet(s"$idx/sigs")
+      .groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("legacy sketch store without cell column still probes (unpruned fallback)") {
+    // ADVICE r6: a store written by the pre-cell layout (partitioned by
+    // batch only) must not throw AnalysisException on resume — the probe
+    // falls back to an unpruned corpus read
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacy").toString
+    val store = s"$dir/store"
+    val a = "the quick brown fox jumps over the lazy dog while the cat sleeps"
+    // hand-write a legacy-layout sketch store: per-band rows, batch dirs,
+    // NO cell column (what the pre-r6 writer produced)
+    val legacy = graft.streaming.StreamingContentDedup.getClass
+      .getDeclaredMethods.find(_.getName == "sketched").get
+    legacy.setAccessible(true)
+    val sk0 = legacy.invoke(graft.streaming.StreamingContentDedup,
+        Seq((1L, a)).toDF("doc_id", "text"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .drop("cell").withColumn("batch", lit(0L))
+    sk0.write.partitionBy("batch").parquet(s"$store/sketches")
+    Seq((1L, a)).toDF("doc_id", "text").withColumn("batch", lit(0L))
+      .write.partitionBy("batch").parquet(s"$store/docs")
+    // resume with the NEW writer: an exact dup of doc 1 plus a fresh doc
+    val b = "completely different content about spark partitions and shuffles at scale"
+    graft.streaming.StreamingContentDedup.processBatch(store)(
+      Seq((2L, a), (3L, b)).toDF("doc_id", "text"), 1L)
+    val admitted = spark.read.parquet(s"$store/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 3L), s"got $admitted")
+  }
+
   test("checkpoint-resume: restarted query does not recount processed data") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
