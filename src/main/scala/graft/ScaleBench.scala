@@ -69,11 +69,13 @@ object ScaleBench {
     // Output-bound giants (q35 62M rows, q79 55M pairs at sf1) swing
     // ±40-60% run-to-run on the big side (BASELINE.md variance note) —
     // min-of-2 over that distribution is a coin flip. They get 3 passes
-    // and report the MEDIAN, with every raw pass in the artifact so a
-    // reader can see the spread instead of trusting one draw.
+    // and report the MEDIAN — on BOTH sides (ADVICE r6: median-of-3 big
+    // over min-of-2 small mixed estimators and biased the giants' ratios
+    // upward relative to every min/min query), with every raw pass in the
+    // artifact so a reader can see the spread instead of trusting one draw.
     val giants = Set("q35_ngram_jaccard_blocked", "q79_passjoin_k2_varlen")
     def passes(name: String, dir: String): Seq[Double] = {
-      val n = if (giants(name) && dir == bigDir) 3 else 2
+      val n = if (giants(name)) 3 else 2
       val ts = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         try { exec(name, dir); (System.nanoTime() - t0) / 1e9 }
@@ -100,8 +102,11 @@ object ScaleBench {
         s""""raw_small":[${rawSmall.map(f3).mkString(",")}],""" +
         s""""raw_big":[${rawBig.map(f3).mkString(",")}]}"""
     }
-    val line = s"""{"metric":"scale_ratio","small":"$smallDir","big":"$bigDir","score":"min; median-of-3 big-side for q35/q79","queries":{${rows.mkString(",")}}}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_LOCAL.json"), line + "\n")
+    // SPARK_GRAFT_OUT: output file — the skewed-data pass writes its rows
+    // to SCALE_SKEW.json so the uniform-scaling artifact stays separate
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "SCALE_LOCAL.json")
+    val line = s"""{"metric":"scale_ratio","small":"$smallDir","big":"$bigDir","score":"min; median-of-3 both sides for q35/q79","queries":{${rows.mkString(",")}}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     spark.stop()
     println(line)
   }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -46,6 +46,7 @@ object ScaleGen {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val skew = args.lift(3).contains("skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,11 +55,30 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, reps)
+    generate(spark, src, out, reps, skew)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
+  /** With `skew = true`, Zipf-boost ONE key per fact surface on top of the
+    * replica construction (VERDICT r6 "Next round" #5 — the uniform
+    * replicas are statistics-preserving by design, so no artifact showed a
+    * hot key surviving the heavy joins/windows):
+    *  - ~5% of ALL orders redirect to one hot customer (o_custkey) — the
+    *    q03/q18 join's shuffle key;
+    *  - ~5% of ALL lineitems redirect to one hot supplier (l_suppkey) —
+    *    q88's star-join shuffle key;
+    *  - ~5% of ALL events redirect to one hot user (user_id) — the
+    *    q08/q42 window partition key;
+    *  - ~1% of documents share ONE hot text per replica (substituted
+    *    BEFORE the alphabet rotation, so the hot set is replica-local) —
+    *    q34's hottest band cell carries ~50x the typical bucket.
+    * Selection is hash-of-own-key deterministic (reproducible, no rand()).
+    * Hot targets are the MIN existing key of each dim/domain, so every
+    * redirected foreign key still joins. Timing-evidence data only: the
+    * redirects change query RESULTS vs the uniform build by construction,
+    * so the skew dir never feeds the correctness gate. */
+  def generate(spark: SparkSession, src: String, out: String, reps: Int,
+               skew: Boolean = false): Unit = {
     def rd(name: String): DataFrame = Tables.t(spark, src, name)
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1
@@ -86,6 +106,18 @@ object ScaleGen {
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
     def shifted(key: String, s: Long) = col(key) + col("rep") * s
+    // skew plumbing: deterministic ~(1/mod) selection by hash of the row's
+    // OWN key, redirecting the shifted foreign key to the min existing key
+    def minKey(name: String, key: String): Long =
+      rd(name).agg(min(col(key)).cast("long")).head().getLong(0)
+    def hotOr(on: Boolean, selKey: Column, mod: Int, hot: Long, base: Column) =
+      if (!on) base
+      else when(pmod(hash(selKey), lit(mod)) === 0, lit(hot)).otherwise(base)
+    lazy val hotCust = minKey("customer", "c_custkey")
+    lazy val hotSupp = minKey("supplier", "s_suppkey")
+    lazy val hotUser = rd("events").agg(min(col("user_id"))).head().getLong(0)
+    lazy val hotText = rd("documents").orderBy(col("doc_id")).select(col("text"))
+      .head().getString(0)
     // per-replica alphabet rotation on [a-z] (rep 0 = identity, so
     // replica 0 stays byte-identical); reps <= 26 by construction
     require(reps <= 26, "alphabet rotation supports at most 26 replicas")
@@ -111,24 +143,35 @@ object ScaleGen {
       .withColumn("p_name", cipher("p_name")))
     replicate("orders")(df => df
       .withColumn("o_orderkey", shifted("o_orderkey", ordS))
-      .withColumn("o_custkey", shifted("o_custkey", custS)))
+      .withColumn("o_custkey",
+        hotOr(skew, col("o_orderkey"), 20, hotCust, shifted("o_custkey", custS))))
     replicate("lineitem")(df => df
       .withColumn("l_orderkey", shifted("l_orderkey", ordS))
       .withColumn("l_partkey", shifted("l_partkey", partS))
-      .withColumn("l_suppkey", shifted("l_suppkey", suppS)))
+      .withColumn("l_suppkey",
+        hotOr(skew, col("l_orderkey") * 8 + col("l_linenumber"), 20, hotSupp,
+          shifted("l_suppkey", suppS))))
     replicate("events")(df => df
       .withColumn("event_id", shifted("event_id", evS))
-      .withColumn("user_id", shifted("user_id", userS)))
-    // cipher preserves lengths, so n_chars carries over unchanged
+      .withColumn("user_id",
+        hotOr(skew, col("event_id"), 20, hotUser, shifted("user_id", userS))))
+    // cipher preserves lengths, so n_chars carries over unchanged; the hot
+    // text substitutes BEFORE the cipher so each replica's hot set shares
+    // one (rotated) text — the hottest band cell grows ~50x, cross-replica
+    // stays decorrelated
     replicate("documents")(df => df
       .withColumn("doc_id", shifted("doc_id", docS))
-      .withColumn("text", cipher("text")))
+      .withColumn("text",
+        if (!skew) cipher("text")
+        else when(pmod(hash(col("doc_id")), lit(100)) === 0, lit(hotText))
+          .otherwise(col("text")))
+      .withColumn("text", if (skew) cipher("text") else col("text")))
     replicate("embeddings")(df => df
       .withColumn("vec_id", shifted("vec_id", vecS))
       .withColumn("label", col("label") + col("rep") * labelS)
       .withColumn("embedding", expr(
         """concat(slice(embedding, rep + 1, size(embedding) - rep),
                   slice(embedding, 1, rep))""")))
-    println(s"""{"scalegen":"done","src":"$src","out":"$out","reps":$reps}""")
+    println(s"""{"scalegen":"done","src":"$src","out":"$out","reps":$reps,"skew":$skew}""")
   }
 }
