@@ -487,18 +487,16 @@ class QueriesSpec extends SparkSpec {
       s"exact=$exact approx=$approx rank=$rankApprox")
   }
 
-  test("every registry query has an oracle except the declared sketches") {
-    // r5: q46 gained a real DuckDB twin (recursive-CTE Ratcliff/Obershelp)
-    // and the MLlib rungs q61/q65 moved out of the registry (library
-    // surface pinned by recall + exhaustive-rank contracts above). The
-    // only rows-only entries are the two sketch aggregates, whose
-    // engine-specific hashing cannot hash-match DuckDB BY CONSTRUCTION —
-    // they carry bounded-error contracts in SketchSpec instead.
+  test("every registry query has an oracle — no rows-only entries") {
+    // r5: q46 gained a real DuckDB twin and the MLlib rungs moved out of
+    // the registry. r7: the last two rows-only entries (the sketch
+    // aggregates, whose raw estimates hash engine-specifically BY
+    // CONSTRUCTION) were restructured to check their error contracts
+    // IN-QUERY and emit portable exact-plus-verdict output with exact
+    // twins (SketchOps) — the full registry is now hash-gated.
     val rowsOnly = QueryRegistry.queries.filter(_.oracle.isEmpty).map(_.name)
-    assert(rowsOnly.toSet ==
-      Set("q122_approx_distinct_hll", "q123_approx_quantile_sketch"))
-    assert(SparkEntry.oracleSql.keySet ==
-      SparkEntry.queries.keySet -- rowsOnly)
+    assert(rowsOnly.isEmpty)
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
 
   test("MLlib Tokenizer->HashingTF->IDF invariants (S9 embedding source)") {
