@@ -43,6 +43,29 @@ class IndexedStoreSpec extends SparkSpec {
     assert(allCells > probes.toSet.size / 2, "corpus degenerated to too few cells")
   }
 
+  test("append folds a batch in: build+append search == one-shot build search") {
+    // the incremental story (mirrors BandIndexStore.append): build over
+    // ~90% of the corpus, append the held-out slice, and every search —
+    // for an old query and for an appended one — must be bit-equal to a
+    // search over a one-shot full build, because the signature math is
+    // deterministic and append only adds files to the right cell dirs
+    val emb = Tables.t(spark, sf, "embeddings")
+    val isNew = col("vec_id") % 10 === 7
+    val d = java.nio.file.Files.createTempDirectory("ivstore-app").toString
+    IndexedVectorStore.build(spark, emb.filter(!isNew), d)
+    IndexedVectorStore.append(spark, emb.filter(isNew), d)
+    val newId = emb.filter(isNew).agg(min(col("vec_id"))).head().getLong(0)
+    for (q <- Seq(0L, newId)) {
+      val got = IndexedVectorStore.search(spark, d, q, 10).collect()
+      val want = IndexedVectorStore.search(spark, dir, q, 10).collect()
+      assert(got.toSeq == want.toSeq, s"query $q diverged after append")
+    }
+    // no rewrite of standing data: one row per vector, still
+    val store = spark.read.parquet(d)
+    assert(store.count() == emb.count())
+    assert(store.groupBy("vec_id").count().filter(col("count") > 1).isEmpty)
+  }
+
   test("store probe meets the sign-LSH recall floor vs exact top-10") {
     // same floor as q80 (QueriesSpec): 6-bit signatures probing ~7/64 of
     // the corpus trade recall for candidate count; measured 0.5 here
