@@ -28,7 +28,8 @@ object QueryRegistry {
       operators.AssemblyOps.all ++
       operators.CorpusOps.all ++
       operators.TokenizerOps.all ++
-      operators.SketchOps.all
+      operators.SketchOps.all ++
+      operators.ClusterOps.all
 
   lazy val byName: Map[String, GraftQuery] =
     queries.map(q => q.name -> q).toMap
@@ -117,7 +118,8 @@ object QueryRegistry {
     "q113_hard_negative_mining",
     "q116_variant_extract",
     "q120_semantic_decontam", "q122_approx_distinct_hll",
-    "q123_approx_quantile_sketch")
+    "q123_approx_quantile_sketch", "q127_weighted_priority_sample",
+    "q128_kmeans_lloyd_assign", "q129_mg_heavy_hitters")
 
   // Unlisted queries KEEP AQE — their plans have runtime-variable shape
   // (candidate-explosion segment/band joins q34/q35/q38/q56/q79/q83,

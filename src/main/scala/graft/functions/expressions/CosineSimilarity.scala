@@ -32,6 +32,21 @@ object VectorKernels {
     while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     dot
   }
+
+  /** Integer squared-L2 distance over array<long> — the k-means/IVF
+    * assignment kernel (exact integer arithmetic, q128's fixed-point
+    * discipline). One fused loop vs the HOF form's zip_with allocation
+    * per (row × centroid). */
+  def sqDistL2(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L; var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Native Catalyst `CosineSimilarity(array<float>, array<float>) -> double`
@@ -78,6 +93,27 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native integer squared-L2 over array<long>, same shape (used inside
+  * q128's per-centroid transform lambda, where the fused eval replaces an
+  * interpreted zip_with+aggregate tree). */
+case class SqDistL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sqDistL2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.VectorKernels.sqDistL2($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 object CosineSimilarity {
   /** Column-API entry point. */
   def cosine_native(a: Column, b: Column): Column =
@@ -86,5 +122,9 @@ object CosineSimilarity {
 
   def dot_native(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def sq_dist_l2(a: Column, b: Column): Column =
+    GraftBridge.column(SqDistL2(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -225,5 +225,80 @@ object CorpusOps {
       FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q108, q109, q111, q112, q114)
+  /** q126 — repeated-span SCRUB (the apply stage of exact-substring dedup;
+    * q111 is the inventory stage): every token position covered by any
+    * occurrence of a cross-document duplicated 5-gram is removed and the
+    * surviving tokens are reassembled into the scrubbed text. This is what
+    * Lee et al. 2021 (arXiv:2107.06499) actually do to the corpus — remove
+    * the duplicated substring from all-but-nowhere, not just report it —
+    * and it's the step the reference's whole-record dedup
+    * (/root/reference/movie_generator.py:83-94) cannot express.
+    *
+    * Scale shape: the duplicated-span set is q111's hash aggregation (at
+    * 100 TB keyed by xxhash64(span) — bounded 8-byte shuffle keys); the
+    * coverage join grams⋈dups shuffles on the span (hot spans are bounded:
+    * a 5-gram occurs at most once per position, AQE splits the residual
+    * skew). Everything position-level stays INSIDE the document row: the
+    * covered starts collapse to one per-doc array (one doc_id exchange),
+    * and deletion + reassembly are pure array HOFs — no token-level
+    * explode, no position-level anti join, no collect_list rebuild. */
+  private val q126 = GraftQuery(
+    "q126_span_scrub_apply",
+    (s, d) => {
+      val toksE = split(col("text"), " ")
+      val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), toksE.as("tk"))
+      val grams = docs.filter(size(col("tk")) >= 5)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("tk")) - 4),
+            i => concat_ws(" ", slice(col("tk"), i, lit(5)))))
+            .as(Seq("gpos0", "span")))
+      // "2+ distinct docs" as min!=max — one aggregation phase where
+      // countDistinct would plan an extra per-key dedup pass
+      val dups = grams.groupBy(col("span"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx"))
+        .select(col("span"))
+      // per-doc covered-position array: starts of duplicated grams,
+      // expanded to the 5 positions each occurrence covers
+      val covered = grams.join(dups, "span")
+        .groupBy(col("doc_id"))
+        .agg(array_distinct(flatten(collect_list(
+          sequence(col("gpos0") + 1, col("gpos0") + 5)))).as("cov"))
+      docs.join(covered, Seq("doc_id"), "left")
+        .withColumn("keep", filter(sequence(lit(1), size(col("tk"))),
+          i => !coalesce(array_contains(col("cov"), i), lit(false))))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+          size(col("keep")).cast("long").as("n_kept"),
+          (size(col("tk")) - size(col("keep"))).cast("long").as("n_removed"),
+          concat_ws(" ",
+            transform(col("keep"), i => element_at(col("tk"), i)))
+            .as("scrubbed"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+              FROM documents),
+      p AS (SELECT doc_id, i AS pos, tk[i] AS tok
+            FROM t, unnest(range(1, len(tk) + 1)) AS u(i)),
+      g AS (SELECT doc_id, i AS start, array_to_string(tk[i:i+4], ' ') AS span
+            FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+                  FROM t WHERE len(tk) >= 5)),
+      dup AS (SELECT span FROM g GROUP BY span
+              HAVING count(DISTINCT doc_id) >= 2),
+      cov AS (SELECT DISTINCT g.doc_id, g.start + o AS pos
+              FROM g JOIN dup USING (span), unnest(range(0, 5)) AS u(o)),
+      kept AS (SELECT p.doc_id, p.pos, p.tok
+               FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.pos
+               WHERE cov.pos IS NULL),
+      r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS scrubbed
+            FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        CAST(len(tk) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        coalesce(scrubbed, '') AS scrubbed
+      FROM t LEFT JOIN r USING (doc_id) ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q108, q109, q111, q112, q114, q126)
 }

@@ -488,5 +488,44 @@ object CurationOps {
       SELECT vec_id, eid AS eval_id, round(score, 6) AS score
       FROM f WHERE rn = 1 ORDER BY vec_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q81, q82, q84, q85, q94, q120, q124)
+  /** q127 — weighted sampling without replacement by PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup, "Priority Sampling for Estimation of
+    * Arbitrary Subset Sums", JACM 2007): each document draws priority
+    * q_i = w_i / u_i from its weight w_i (here n_chars — sample long
+    * documents proportionally more) and a uniform u_i; the sample is the
+    * k largest priorities. The uniform comes from md5 of the stable
+    * doc_id — the same retry-stable, engine-portable randomness as q82 —
+    * so the weighted sample is exactly reproducible across engines, runs
+    * and stage retries (rand()-based weighted sampling is none of those).
+    * Determinism of the float: w and u are exact integers < 2^53, w/u is
+    * one correctly-rounded IEEE division — bit-identical on any engine.
+    * Scale: priorities are a pure per-row map; the top-k is
+    * TakeOrderedAndProject (per-partition heaps, k rows to the driver) —
+    * no shuffle of the corpus, the same shape at 500 rows and 100 TB. */
+  private val q127 = GraftQuery(
+    "q127_weighted_priority_sample",
+    (s, d) => {
+      val k = 50
+      val pri = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("weight"),
+          (conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":wsample"))), 1, 8), 16, 10).cast("long") + 1L).as("u"))
+        .withColumn("priority", col("weight").cast("double") / col("u"))
+      pri.orderBy(col("priority").desc, col("doc_id")).limit(k)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("priority").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("weight"),
+          round(col("priority") * 1e9, 6).as("priority_x1e9"))
+    },
+    Some("""WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        ('0x' || substr(md5(doc_id::VARCHAR || ':wsample'), 1, 8))::BIGINT + 1
+          AS u
+      FROM documents),
+      r AS (SELECT doc_id, weight,
+              CAST(weight AS DOUBLE) / u AS priority FROM p)
+      SELECT row_number() OVER (ORDER BY priority DESC, doc_id) AS rank,
+        doc_id, weight, round(priority * 1e9, 6) AS priority_x1e9
+      FROM r ORDER BY priority DESC, doc_id LIMIT 50"""))
+
+  val all: Seq[GraftQuery] = Seq(q81, q82, q84, q85, q94, q120, q124, q127)
 }

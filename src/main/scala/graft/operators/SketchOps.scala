@@ -146,5 +146,69 @@ object SketchOps {
       "rank-epsilon CONTRACT in-query; pure sketch shape = approxQuantile, " +
       "pinned by SketchSpec")
 
-  val all: Seq[GraftQuery] = Seq(q122, q123)
+  /** Pure Misra-Gries heavy-hitters profile (the 100-TB shape): the k
+    * most-frequent tokens with their (under-)estimates, plus the stream
+    * and retained-mass totals the error bound is stated against. Scale:
+    * the exact form (q109's wordcount) shuffles the full vocabulary; this
+    * ships k counters per partition into ONE partial+final aggregation —
+    * the frequent-items complement of approxDistinct/approxQuantile.
+    * Output: (token, est, n, retained) — contents depend on partitioning
+    * (hence no registry twin for the raw summary), bounds never do. */
+  def mgHeavyHitters(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    import graft.functions.expressions.MisraGriesAgg.mg_summary
+    val toks = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    toks
+      .agg(mg_summary(col("tok"), k).as("m"), count(lit(1)).as("n"))
+      .withColumn("retained",
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x))
+      .select(explode(col("m")).as(Seq("token", "est")),
+        col("n"), col("retained"))
+      .orderBy(col("est").desc, col("token"))
+  }
+
+  /** q129 — Misra-Gries error-contract gate (the frequent-items member of
+    * the sketch family, same discipline as q122/q123): for the top-10
+    * exact tokens, check IN-QUERY that the MG estimate (k=8 counters over
+    * a ~31-token vocabulary — a real compression) undercounts only and
+    * sits within the (N - M)/(k+1) mergeable-summaries bound. Both checks
+    * are INTEGER arithmetic — (cnt - est)·(k+1) <= N - M — so the verdict
+    * is exact, and it is TRUE by theorem for every partitioning/merge
+    * order even though est, M themselves vary with the split. An MG
+    * implementation bug (wrong decrement, wrong merge) flips a boolean
+    * and fails the driver's hash gate. */
+  val q129 = GraftQuery(
+    "q129_mg_heavy_hitters",
+    (s, d) => {
+      import graft.functions.expressions.MisraGriesAgg.mg_summary
+      val k = 8
+      val toks = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val sk = toks
+        .agg(mg_summary(col("tok"), k).as("m"), count(lit(1)).as("n"))
+        .withColumn("retained",
+          aggregate(map_values(col("m")), lit(0L), (a, x) => a + x))
+      val top = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(10)
+      val est = coalesce(element_at(col("m"), col("tok")), lit(0L))
+      top.crossJoin(broadcast(sk))
+        .select(col("tok"), col("cnt"),
+          (est <= col("cnt")).as("under_ok"),
+          ((col("cnt") - est) * (k + 1) <= col("n") - col("retained"))
+            .as("bound_ok"))
+        .orderBy(col("cnt").desc, col("tok"))
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+            c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                  FROM toks GROUP BY tok)
+            SELECT tok, cnt, TRUE AS under_ok, TRUE AS bound_ok
+            FROM c ORDER BY cnt DESC, tok LIMIT 10"""),
+    note = "MG summary contents are partitioning-dependent, so the " +
+      "registry row checks the mergeable-summaries error contract " +
+      "in-query (integer booleans + exact counts are portable); pure " +
+      "sketch shape = mgHeavyHitters, pinned by SketchSpec")
+
+  val all: Seq[GraftQuery] = Seq(q122, q123, q129)
 }

@@ -682,6 +682,62 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q126 span scrub: exact token accounting, kept text a subsequence") {
+    val rows = QueryRegistry.byName("q126_span_scrub_apply").fn(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") ==
+        r.getAs[Long]("n_tokens"), s"accounting off: $r")
+    }
+    assert(rows.exists(_.getAs[Long]("n_removed") > 0),
+      "no spans scrubbed — dup-span construction broken")
+    // the scrubbed text must be the original token stream with positions
+    // deleted — i.e. an ordered subsequence
+    val orig = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    rows.take(100).foreach { r =>
+      val kept = r.getAs[String]("scrubbed") match {
+        case "" => Array.empty[String]
+        case t => t.split(" ")
+      }
+      val o = orig(r.getLong(0))
+      var i = 0
+      kept.foreach { tok =>
+        var j = i
+        while (j < o.length && o(j) != tok) j += 1
+        assert(j < o.length, s"doc ${r.getLong(0)}: '$tok' breaks subsequence")
+        i = j + 1
+      }
+    }
+  }
+
+  test("q127 weighted sample: dense unique ranks, weight-biased inclusion") {
+    val rows = QueryRegistry.byName("q127_weighted_priority_sample")
+      .fn(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq ==
+      (1L to rows.length).toSeq)
+    assert(rows.forall(_.getAs[Long]("weight") > 0))
+    // priority sampling must over-represent heavy documents: the sample's
+    // mean weight exceeds the corpus mean
+    val sampleMean = rows.map(_.getAs[Long]("weight")).sum.toDouble / rows.length
+    val corpusMean = Tables.t(spark, sf, "documents")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("q128 k-means: every vector assigned, cluster ids valid, dists >= 0") {
+    val df = QueryRegistry.byName("q128_kmeans_lloyd_assign").fn(spark, sf)
+    val rows = df.collect()
+    val total = Tables.t(spark, sf, "embeddings").count()
+    assert(rows.length == total, "every vector must be assigned")
+    val used = rows.map(_.getAs[Long]("cluster")).distinct
+    assert(used.forall(c => c >= 0 && c < 8))
+    assert(used.length >= 2, "degenerate clustering: one cluster")
+    assert(rows.forall(_.getAs[Long]("dist") >= 0))
+  }
+
   test("q101 pivot: cell matrix sums to the direct revenue total") {
     val rows = QueryRegistry.byName("q101_pivot_revenue_matrix").fn(spark, sf)
     val cells = rows.collect().map { r =>

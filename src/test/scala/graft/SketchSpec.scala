@@ -70,6 +70,48 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries: undercount-only + (N-M)/(k+1) bound under ANY split") {
+    // the mergeable-summaries contract (Agarwal et al. PODS 2012) must
+    // hold for every partitioning/merge tree — exercise three radically
+    // different splits of the same stream and check every guarantee
+    // against exact counts, including retention of guaranteed heavy
+    // hitters. k=8 over a ~31-token vocabulary: genuinely lossy.
+    import graft.functions.expressions.MisraGriesAgg.mg_summary
+    val k = 8
+    val toks = Tables.t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    for (parts <- Seq(1, 7, 32)) {
+      val m = toks.repartition(parts)
+        .agg(mg_summary(col("tok"), k)).head().getMap[String, Long](0)
+      val sketch = m.keysIterator.map(t => t -> m(t)).toMap
+      assert(sketch.size <= k, s"parts=$parts: ${sketch.size} > k")
+      val retained = sketch.values.sum
+      val bound = (n - retained) / (k + 1) // integer floor, conservative
+      sketch.foreach { case (t, est) =>
+        assert(est <= exact(t), s"parts=$parts: $t overcounted $est > ${exact(t)}")
+        assert(exact(t) - est <= bound,
+          s"parts=$parts: $t error ${exact(t) - est} > bound $bound")
+      }
+      // retention: any token with exact count > bound MUST be present
+      exact.foreach { case (t, c) =>
+        if (c > bound)
+          assert(sketch.contains(t),
+            s"parts=$parts: guaranteed heavy hitter $t (cnt=$c > $bound) missing")
+      }
+    }
+  }
+
+  test("registry gate row q129: every in-query MG contract verdict true") {
+    val r129 = SketchOps.q129.fn(spark, sfDir).collect()
+    assert(r129.length == 10)
+    r129.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3), s"q129 out of bound: $r")
+    }
+  }
+
   test("sketch plans are partial+final aggregations (mergeable at scale)") {
     // the 100-TB property, asserted on the PURE sketch shapes: the sketch
     // is built map-side (partial_ mode) and merged — ONE exchange per
@@ -77,16 +119,18 @@ class SketchSpec extends SparkSpec {
     // only sorts sit above the aggregated (group-cardinality) rows.
     for ((nm, df) <- Seq(
         "approxDistinct" -> SketchOps.approxDistinct(spark, sfDir),
-        "approxQuantile" -> SketchOps.approxQuantile(spark, sfDir))) {
+        "approxQuantile" -> SketchOps.approxQuantile(spark, sfDir),
+        "mgHeavyHitters" -> SketchOps.mgHeavyHitters(spark, sfDir))) {
       val s = df.queryExecution.executedPlan.toString
       assert(s.contains("partial_approx_count_distinct") ||
-             s.contains("partial_approx_percentile"),
+             s.contains("partial_approx_percentile") ||
+             s.contains("partial_misragriesagg"),
         s"$nm: no map-side partial sketch in plan\n$s")
       val exchanges = s.linesIterator.count(_.contains("Exchange"))
       // approxDistinct: per-lang agg + global agg + ordered output of
       // <= |langs|+1 rows; approxQuantile: one agg + ordered output of
-      // |priorities| rows. Post-aggregate sorts move group-cardinality
-      // rows, not data.
+      // |priorities| rows; mgHeavyHitters: one global agg, <= k output
+      // rows. Post-aggregate sorts move group-cardinality rows, not data.
       val maxEx = if (nm == "approxDistinct") 3 else 2
       assert(exchanges <= maxEx,
         s"$nm: $exchanges exchanges (expected <= $maxEx)\n$s")
