@@ -29,7 +29,9 @@ object QueryRegistry {
       operators.CorpusOps.all ++
       operators.TokenizerOps.all ++
       operators.SketchOps.all ++
-      operators.ClusterOps.all
+      operators.ClusterOps.all ++
+      operators.RetrievalOps.all ++
+      operators.GraphOps.all
 
   lazy val byName: Map[String, GraftQuery] =
     queries.map(q => q.name -> q).toMap
@@ -119,7 +121,8 @@ object QueryRegistry {
     "q116_variant_extract",
     "q120_semantic_decontam", "q122_approx_distinct_hll",
     "q123_approx_quantile_sketch", "q127_weighted_priority_sample",
-    "q128_kmeans_lloyd_assign", "q129_mg_heavy_hitters")
+    "q128_kmeans_lloyd_assign", "q129_mg_heavy_hitters",
+    "q130_hybrid_rrf_fusion", "q133_kmv_set_intersection")
 
   // Unlisted queries KEEP AQE — their plans have runtime-variable shape
   // (candidate-explosion segment/band joins q34/q35/q38/q56/q79/q83,

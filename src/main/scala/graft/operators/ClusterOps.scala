@@ -138,5 +138,86 @@ object ClusterOps {
                    FROM ev e, c2 c))
       SELECT vec_id, cluster, dist FROM a3 WHERE rn = 1 ORDER BY vec_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q128)
+  /** q132 — SemDeDup-style semantic prune (Abbas et al. 2023,
+    * arXiv:2303.09540): inside each semantic cluster, drop every vector
+    * that has a near-duplicate neighbor strictly closer to the cluster
+    * centroid (ties to the lower id) — keep the most-central exemplar of
+    * each near-dup neighborhood. The cluster key here is `label` (the
+    * precomputed coarse assignment; q128 is the stage that LEARNS one),
+    * the near-dup criterion is q23's cosine ≥ 0.40 (verified to sit in a
+    * >2e-3 empirical score gap, so float32-vs-double cannot flip
+    * membership), and centroids/distances follow the q128 integer
+    * discipline (×1e6 quantization, truncated integer mean, integer
+    * squared-L2) so the drop decision and every emitted column hash-check.
+    *
+    * Output: the DROPPED vectors with their centroid distance and the
+    * dominating keeper (nearest-to-centroid neighbor, min by (dist, id)).
+    *
+    * Scale shape: centroids are one bounded aggregation (clusters × dims
+    * reduce keys) + a broadcast back; the distance column is a shuffle-free
+    * map; the pair stage is the blocked self-join contract shared with
+    * q23/q35 — O(Σ cluster²), never O(corpus²), and the 100-TB knob is the
+    * cluster count (more centroids → smaller blocks), not the join. */
+  private val q132 = GraftQuery(
+    "q132_semdedup_prune",
+    (s, d) => {
+      import graft.functions.VectorFunctions.cosine
+      import graft.functions.expressions.CosineSimilarity.sq_dist_l2
+      val ev = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+        col("embedding"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("ev"))
+      val cent = ev
+        .select(col("label"), posexplode(col("ev")).as(Seq("pos", "e")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("e")).as("se"), count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          ((col("se") - col("se") % col("n")) / col("n")).cast("long").as("m"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("label"),
+          transform(col("pm"), p => p.getField("m")).as("cent"))
+      val wd = ev.join(broadcast(cent), Seq("label"))
+        .withColumn("dist", sq_dist_l2(col("ev"), col("cent")))
+        .select(col("label"), col("vec_id"), col("embedding"), col("dist"))
+      val a = wd.select(col("label"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("dist").as("a_dist"))
+      val b = wd.select(col("label"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("dist").as("b_dist"))
+      a.join(b, Seq("label"))
+        .filter(col("a_id") =!= col("b_id"))
+        .filter(cosine(col("a_emb"), col("b_emb")) >= 0.40)
+        .filter(col("a_dist") < col("b_dist") ||
+          (col("a_dist") === col("b_dist") && col("a_id") < col("b_id")))
+        .groupBy(col("label"), col("b_id").as("vec_id"), col("b_dist").as("dist"))
+        .agg(min(struct(col("a_dist"), col("a_id"))).as("k"))
+        .select(col("label"), col("vec_id"), col("dist"),
+          col("k").getField("a_id").as("keeper"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH ev AS (SELECT vec_id, label, embedding,
+        list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ev
+      FROM embeddings),
+      cent AS (SELECT label, list(m ORDER BY pos) AS cent FROM (
+          SELECT label, i AS pos,
+            CAST((sum(ev[i]) - sum(ev[i]) % count(*)) / count(*) AS BIGINT)
+              AS m
+          FROM ev, unnest(range(1, len(ev) + 1)) AS u(i)
+          GROUP BY label, i) GROUP BY label),
+      wd AS (SELECT vec_id, label, embedding,
+          CAST(list_sum(list_transform(range(1, len(ev) + 1),
+            i -> (ev[i] - cent[i]) * (ev[i] - cent[i]))) AS BIGINT) AS dist
+        FROM ev JOIN cent USING (label)),
+      dom AS (SELECT b.label, b.vec_id, b.dist, a.vec_id AS a_id,
+          row_number() OVER (PARTITION BY b.vec_id
+            ORDER BY a.dist, a.vec_id) AS rn
+        FROM wd a JOIN wd b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40
+          AND (a.dist < b.dist OR (a.dist = b.dist AND a.vec_id < b.vec_id)))
+      SELECT label, vec_id, dist, a_id AS keeper
+      FROM dom WHERE rn = 1 ORDER BY vec_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q128, q132)
 }

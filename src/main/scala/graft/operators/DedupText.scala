@@ -673,33 +673,39 @@ object DedupText {
     * per-(doc,term) contribution is rounded to integer micro-units BEFORE
     * the per-doc sum so the aggregate is an order-independent integer sum
     * (float sums are order-dependent; integer sums are not). k1=1.2,
-    * b=0.75 (the standard Robertson defaults). */
+    * b=0.75 (the standard Robertson defaults).
+    *
+    * `bm25Scored` is the unordered scoring stage, shared with the hybrid
+    * fusion rung (q130 in [[RetrievalOps]]). */
+  private[operators] def bm25Scored(
+      s: SparkSession, d: String, termList: Seq[String]): DataFrame = {
+    import s.implicits._
+    val tc = t(s, d, "documents")
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val terms = termList.toDF("tok")
+    val tf = tc.join(broadcast(terms), Seq("tok")).withColumnRenamed("c", "tf")
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", length(bin(expr("(n + 1) div (df + 1)"))).cast("long"))
+      .withColumn("contrib",
+        col("idf") * ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+      .withColumn("contrib_micro", round(col("contrib") * lit(1e6), 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_micro")).as("score_micro"))
+  }
+
   private val q90 = GraftQuery(
     "q90_bm25_retrieval",
-    (s, d) => {
-      import s.implicits._
-      val tc = t(s, d, "documents")
-        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val terms = Seq("dup", "merge", "vector").toDF("tok")
-      val tf = tc.join(broadcast(terms), Seq("tok")).withColumnRenamed("c", "tf")
-      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), Seq("tok"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .withColumn("idf", length(bin(expr("(n + 1) div (df + 1)"))).cast("long"))
-        .withColumn("contrib",
-          col("idf") * ((col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
-        .withColumn("contrib_micro", round(col("contrib") * lit(1e6), 0).cast("long"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_terms"), sum(col("contrib_micro")).as("score_micro"))
-        .orderBy(col("score_micro").desc, col("doc_id"))
-        .limit(20)
-    },
+    (s, d) => bm25Scored(s, d, Seq("dup", "merge", "vector"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(20),
     Some("""WITH toks AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
       tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.Tables._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval — the reference exposes BOTH a lexical search path
+  * (/root/reference/backend/search.py:15-44, Mongo text/regex match) and a
+  * semantic vector path (/root/reference/backend/ai_service.py:59-119);
+  * production retrieval fuses the two. q130 is that composed surface:
+  * BM25 top-k (q90's scorer) and cosine top-k (q20's shape) merged by
+  * Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009:
+  * score(d) = Σ_lists 1/(C + rank_list(d)), C = 60).
+  *
+  * Engine portability: each list contributes floor(1e6/(60+rank)) — an
+  * integer division of exact integers — so the fused score is an
+  * order-independent integer sum and the whole query hash-checks.
+  *
+  * Scale shape: each branch is TakeOrderedAndProject (per-partition heaps,
+  * k rows to the driver — no corpus sort); the fusion join touches 2k rows
+  * regardless of corpus size. At 100 TB nothing but the two scans and the
+  * BM25 token-count shuffle grows with the data.
+  */
+object RetrievalOps {
+
+  private val C = 60 // RRF damping constant (the SIGIR 2009 default)
+  private val K = 20 // per-list depth
+  private val TopN = 10
+
+  private val q130 = GraftQuery(
+    "q130_hybrid_rrf_fusion",
+    (s, d) => {
+      val lex = DedupText.bm25Scored(s, d, Seq("dup", "merge", "vector"))
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(K)
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("lex_rank"))
+      val sem = t(s, d, "embeddings")
+        .crossJoin(broadcast(VectorSearch.queryVec(s, d, 0)))
+        .withColumn("score", cosine(col("embedding"), col("qvec")))
+        .orderBy(col("score").desc, col("vec_id")).limit(K)
+        .withColumn("vec_rank", row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("vec_rank"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(expr(s"${1e6.toLong} div ($C + lex_rank)"), lit(0L)) +
+            coalesce(expr(s"${1e6.toLong} div ($C + vec_rank)"), lit(0L)))
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(TopN)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf_micro").desc, col("doc_id"))).cast("long"))
+        // rank 0 = "not in that list" (keeps the output null-free; the
+        // correctness gate hash-compares cells and a NULL has no stable
+        // cross-engine representation)
+        .select(col("rank"), col("doc_id"), col("rrf_micro"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+      dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM tc GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      terms(tok) AS (VALUES ('dup'), ('merge'), ('vector')),
+      tf AS (SELECT doc_id, tok, c AS tf FROM tc JOIN terms USING (tok)),
+      dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      scored AS (
+        SELECT doc_id,
+          CAST(round((CAST(length(bin((n + 1) // (df + 1))) AS BIGINT) *
+            ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))) * 1000000.0)
+            AS BIGINT) AS contrib_micro
+        FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), stats),
+      lexs AS (SELECT doc_id, sum(contrib_micro) AS score_micro
+               FROM scored GROUP BY doc_id),
+      lex AS (SELECT doc_id, row_number() OVER
+                (ORDER BY score_micro DESC, doc_id) AS lex_rank
+              FROM (SELECT * FROM lexs
+                    ORDER BY score_micro DESC, doc_id LIMIT 20)),
+      q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      semsc AS (SELECT vec_id, list_cosine_similarity(embedding, qvec) AS score
+                FROM embeddings, q),
+      sem AS (SELECT vec_id AS doc_id, row_number() OVER
+                (ORDER BY score DESC, vec_id) AS vec_rank
+              FROM (SELECT * FROM semsc ORDER BY score DESC, vec_id LIMIT 20)),
+      fused AS (
+        SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+               lex_rank, vec_rank,
+               coalesce(1000000 // (60 + lex_rank), 0) +
+                 coalesce(1000000 // (60 + vec_rank), 0) AS rrf_micro
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+      SELECT row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank,
+             doc_id, rrf_micro,
+             coalesce(lex_rank, 0) AS lex_rank,
+             coalesce(vec_rank, 0) AS vec_rank
+      FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10"""))
+
+  val all: Seq[GraftQuery] = Seq(q130)
+}

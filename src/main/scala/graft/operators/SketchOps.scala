@@ -210,5 +210,114 @@ object SketchOps {
       "in-query (integer booleans + exact counts are portable); pure " +
       "sketch shape = mgHeavyHitters, pinned by SketchSpec")
 
-  val all: Seq[GraftQuery] = Seq(q122, q123, q129)
+  /** q133 — KMV (k-minimum-values) distinct-set sketch with SET-OPERATION
+    * estimation (Beyer et al., "On Synopses for Distinct-Value Estimation
+    * Under Multiset Operations", SIGMOD 2007): the fourth sketch family
+    * (after HLL q122 / GK q123 / MG q129) and the one that answers
+    * "how much do corpus A and corpus B OVERLAP" without an exact distinct
+    * join — the cross-corpus contamination / vocabulary-overlap question a
+    * 100-TB curation pipeline asks constantly.
+    *
+    * Sets: distinct 3-word shingles of the en vs fr document slices (the
+    * q34 shingle space — the harness vocabulary is ~31 tokens, so 1-grams
+    * would saturate). Sketch = the k smallest 48-bit md5 values per set
+    * (k = 128); union sketch = k smallest of the sketch union (KMV is
+    * mergeable: union-then-truncate is associative, the property that
+    * makes it one constant-size shuffle per corpus at scale); ρ = union-
+    * sketch members present in BOTH input sketches. Estimators (exact
+    * integer arithmetic end-to-end, hence hash-checkable cross-engine
+    * unlike HLL/GK internals): est_union = (k−1)·2^48 div M (M = kth
+    * smallest of the union), est_inter = ρ·est_union div k,
+    * jaccard_micro = 10^6·ρ div k. When a sketch holds its entire set
+    * (k_eff < k) the sketch IS the set and the estimate is exact by
+    * construction — the k_eff guard keeps the small-sf suite honest.
+    *
+    * Error contract, q122-style in-query booleans (oracle emits literal
+    * TRUE → an out-of-bound estimate flips the bit and fails the hash
+    * gate): union within 30% of exact (σ ≈ 1/√(k−2) ≈ 8.9% → 3.4σ);
+    * intersection within 25% of the exact UNION size — est_inter =
+    * (ρ/k)·est_union compounds the union estimator's σ ≈ 8.9% (scaled by
+    * J ≤ 1) with ρ's binomial σ = √(J(1−J)/k) ≤ 4.4% of union, so the
+    * worst-case combined σ is ≈ 9.9% of union → 25% ≈ 2.5σ at J = 1,
+    * >3σ at the J ≈ 0.1–0.75 the suite's scale factors actually span. */
+  val q133 = GraftQuery(
+    "q133_kmv_set_intersection",
+    (s, d) => {
+      import graft.functions.TextFunctions.tokens
+      import graft.functions.HashFunctions.shingles
+      val k = 128
+      val hs = t(s, d, "documents").filter(col("lang").isin("en", "fr"))
+        .select(col("lang"),
+          explode(shingles(tokens(lower(col("text"))))).as("g"))
+        .select(col("lang"),
+          conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("h"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("h"))
+      val sk = hs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      val skA = sk.filter(col("lang") === "en").select(col("h").as("ha"))
+      val skB = sk.filter(col("lang") === "fr").select(col("h").as("hb"))
+      val un = skA.select(col("ha").as("h"))
+        .union(skB.select(col("hb").as("h"))).distinct()
+        .orderBy(col("h")).limit(k)
+      val m = un.agg(max(col("h")).as("kth_hash"),
+        count(lit(1)).cast("long").as("k_eff"))
+      val rho = un.join(broadcast(skA), un("h") === skA("ha"), "left_semi")
+        .join(broadcast(skB), col("h") === skB("hb"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("rho"))
+      val exact = hs.groupBy(col("h"))
+        .agg(countDistinct(col("lang")).as("nl"))
+        .agg(count(lit(1)).cast("long").as("exact_union"),
+          sum(when(col("nl") === 2, 1L).otherwise(0L)).as("exact_inter"))
+      m.crossJoin(rho).crossJoin(exact)
+        .withColumn("est_union",
+          when(col("k_eff") < k, col("k_eff"))
+            .otherwise(expr(s"(${k - 1}L * 281474976710656L) div kth_hash")))
+        .withColumn("est_inter", expr("(rho * est_union) div k_eff"))
+        .select(col("k_eff"), col("kth_hash"), col("rho"),
+          col("est_union"), col("exact_union"),
+          (abs(col("est_union") - col("exact_union")) * 10 <=
+            col("exact_union") * 3).as("union_ok"),
+          col("est_inter"), col("exact_inter"),
+          (abs(col("est_inter") - col("exact_inter")) <=
+            expr("(exact_union * 25) div 100")).as("inter_ok"),
+          expr("(rho * 1000000) div k_eff").as("jaccard_micro"))
+    },
+    Some(s"""WITH sh AS (
+        SELECT lang, unnest(${graft.functions.HashFunctions.shinglesSql(
+          "string_split(lower(text), ' ')")}) AS g
+        FROM documents WHERE lang IN ('en', 'fr')),
+      hs AS (SELECT DISTINCT lang,
+               ('0x' || substr(md5(g), 1, 12))::BIGINT AS h FROM sh),
+      ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                             FROM hs WHERE lang = 'en') WHERE rn <= 128),
+      skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                             FROM hs WHERE lang = 'fr') WHERE rn <= 128),
+      un AS (SELECT h FROM (SELECT DISTINCT h FROM
+               (SELECT h FROM ska UNION ALL SELECT h FROM skb))
+             ORDER BY h LIMIT 128),
+      m AS (SELECT max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS k_eff
+            FROM un),
+      r AS (SELECT CAST(count(*) AS BIGINT) AS rho FROM un
+            WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+      ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union,
+               CAST(sum(CASE WHEN nl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS exact_inter
+             FROM (SELECT h, count(DISTINCT lang) AS nl FROM hs GROUP BY h)),
+      f AS (SELECT m.kth_hash, m.k_eff, r.rho, ex.exact_union,
+              ex.exact_inter,
+              CASE WHEN m.k_eff < 128 THEN m.k_eff
+                   ELSE (127 * 281474976710656) // m.kth_hash END AS est_union
+            FROM m, r, ex)
+      SELECT k_eff, kth_hash, rho, est_union, exact_union,
+             TRUE AS union_ok,
+             (rho * est_union) // k_eff AS est_inter, exact_inter,
+             TRUE AS inter_ok,
+             (rho * 1000000) // k_eff AS jaccard_micro
+      FROM f"""),
+    note = "KMV internals are fully deterministic (md5), so every column " +
+      "exact-hashes; the booleans are the in-query error contract " +
+      "(oracle pins them TRUE, q122-style)")
+
+  val all: Seq[GraftQuery] = Seq(q122, q123, q129, q133)
 }

@@ -27,7 +27,7 @@ object VectorSearch {
 
   /** Query-vector side: one row, broadcast. vec_id 0 plays the role of the
     * embedded user query (ai_service.py:23-42 embeds the query text). */
-  private def queryVec(s: SparkSession, d: String, id: Long): DataFrame =
+  private[operators] def queryVec(s: SparkSession, d: String, id: Long): DataFrame =
     t(s, d, "embeddings").filter(col("vec_id") === id)
       .select(col("embedding").as("qvec"))
 

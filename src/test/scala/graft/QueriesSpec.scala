@@ -738,6 +738,62 @@ class QueriesSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("dist") >= 0))
   }
 
+  test("q130 RRF fusion: ranks dense, fused score is the sum of its parts") {
+    val rows = QueryRegistry.byName("q130_hybrid_rrf_fusion").fn(spark, sf)
+      .orderBy("rank").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rank")).sameElements(1L to rows.length))
+    val rrf = rows.map(_.getAs[Long]("rrf_micro"))
+    assert(rrf.sameElements(rrf.sortBy(-_)), "fusion not score-descending")
+    rows.foreach { r =>
+      val l = r.getAs[Long]("lex_rank"); val v = r.getAs[Long]("vec_rank")
+      assert(l > 0 || v > 0, "fused doc in neither source list")
+      val expected = (if (l > 0) 1000000L / (60 + l) else 0L) +
+        (if (v > 0) 1000000L / (60 + v) else 0L)
+      assert(r.getAs[Long]("rrf_micro") == expected,
+        s"doc ${r.getAs[Long]("doc_id")}: rrf != 1/(60+r) sum")
+    }
+  }
+
+  test("q131 PageRank: every node >= teleport base, total mass conserved") {
+    val rows = QueryRegistry.byName("q131_pagerank_trade_graph")
+      .fn(spark, sf).collect()
+    val n = Tables.t(spark, sf, "nation").count()
+    assert(rows.length == n)
+    val prs = rows.map(_.getAs[Long]("pr_micro"))
+    assert(prs.forall(_ >= 150000L / n), "node below teleport floor")
+    // integer truncation and dangling-mass drop only LOSE mass
+    assert(prs.sum <= 1000000L, s"mass ${prs.sum} exceeds initial 1e6")
+    assert(prs.max > 150000L / n, "no node accumulated link mass")
+  }
+
+  test("q132 SemDeDup: drops are unique and each keeper is a q23 near-dup") {
+    val pairs = QueryRegistry.byName("q23_embedding_neardup_pairs")
+      .fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val dropped = QueryRegistry.byName("q132_semdedup_prune")
+      .fn(spark, sf).collect()
+    assert(dropped.map(_.getAs[Long]("vec_id")).distinct.length == dropped.length)
+    dropped.foreach { r =>
+      val v = r.getAs[Long]("vec_id"); val k = r.getAs[Long]("keeper")
+      assert(k != v)
+      assert(pairs((math.min(k, v), math.max(k, v))),
+        s"dropped $v with keeper $k is not a q23 near-dup pair")
+    }
+  }
+
+  test("q133 KMV: estimates inside their documented bounds, sane sketch") {
+    val r = QueryRegistry.byName("q133_kmv_set_intersection")
+      .fn(spark, sf).head()
+    assert(r.getAs[Boolean]("union_ok") && r.getAs[Boolean]("inter_ok"))
+    assert(r.getAs[Long]("k_eff") <= 128L)
+    assert(r.getAs[Long]("rho") <= r.getAs[Long]("k_eff"))
+    assert(math.abs(r.getAs[Long]("est_union") - r.getAs[Long]("exact_union")) * 10
+      <= 3 * r.getAs[Long]("exact_union"))
+    assert(r.getAs[Long]("jaccard_micro") ==
+      r.getAs[Long]("rho") * 1000000L / r.getAs[Long]("k_eff"))
+  }
+
   test("q101 pivot: cell matrix sums to the direct revenue total") {
     val rows = QueryRegistry.byName("q101_pivot_revenue_matrix").fn(spark, sf)
     val cells = rows.collect().map { r =>
