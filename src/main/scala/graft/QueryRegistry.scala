@@ -31,7 +31,8 @@ object QueryRegistry {
       operators.SketchOps.all ++
       operators.ClusterOps.all ++
       operators.RetrievalOps.all ++
-      operators.GraphOps.all
+      operators.GraphOps.all ++
+      operators.LayoutOps.all
 
   lazy val byName: Map[String, GraftQuery] =
     queries.map(q => q.name -> q).toMap

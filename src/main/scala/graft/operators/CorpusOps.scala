@@ -300,5 +300,65 @@ object CorpusOps {
         coalesce(scrubbed, '') AS scrubbed
       FROM t LEFT JOIN r USING (doc_id) ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q108, q109, q111, q112, q114, q126)
+  /** q136 — bigram-rarity quality score: the language-model-perplexity
+    * proxy of a CCNet-style quality filter (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", arXiv:1911.00359 — their KenLM perplexity bucket, re-expressed
+    * as exact-integer corpus statistics so it hash-checks cross-engine).
+    * A document whose bigrams are rare IN ITS OWN CORPUS reads as
+    * out-of-distribution — the same signal perplexity gives, without a
+    * float LM. Score = mean corpus-frequency of the doc's bigrams
+    * (integer div) + the fraction of bigrams seen ≤ 10 times (micro
+    * units); `keep` applies the filter verdict.
+    *
+    * Scale shape: the bigram LM is a map-side-combined wordcount bounded
+    * by vocabulary² (~1k cells here; ~millions at web scale — still a
+    * broadcast), so scoring is ONE fact-table pass: explode → broadcast
+    * join → per-doc aggregation, a single doc_id-keyed shuffle. The model
+    * itself never rides a fact-sized shuffle — the property that makes
+    * this the 100-TB quality pass. */
+  val q136 = GraftQuery(
+    "q136_bigram_rarity_score",
+    (s, d) => {
+      import graft.functions.TextFunctions.tokens
+      val bg = {
+        val toks = tokens(lower(col("text")))
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>"))
+      }
+      val docBg = t(s, d, "documents")
+        .select(col("doc_id"), explode(bg).as("g"))
+      val lm = docBg.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      docBg.join(broadcast(lm), "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("c")).as("sc"),
+          sum(when(col("c") <= 10, 1L).otherwise(0L)).as("rare"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sc div n_bigrams").as("mean_bg_count"),
+          expr("(rare * 1000000) div n_bigrams").as("rare_micro"))
+        .withColumn("keep", col("rare_micro") < 200000)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                        FROM documents),
+        bg AS (SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> t[i] || ' ' || t[i+1])) AS g
+               FROM tk),
+        lm AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY g),
+        sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(lm.c) AS BIGINT) AS sc,
+                 CAST(sum(CASE WHEN lm.c <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS rare
+               FROM bg JOIN lm USING (g) GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, sc // n_bigrams AS mean_bg_count,
+             (rare * 1000000) // n_bigrams AS rare_micro,
+             (rare * 1000000) // n_bigrams < 200000 AS keep
+      FROM sc ORDER BY doc_id"""),
+    note = "CCNet perplexity-bucket stand-in: corpus bigram LM is " +
+      "vocab^2-bounded (broadcast), scoring is one fact pass")
+
+  val all: Seq[GraftQuery] = Seq(q108, q109, q111, q112, q114, q126, q136)
 }

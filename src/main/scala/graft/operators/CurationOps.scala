@@ -527,5 +527,48 @@ object CurationOps {
         doc_id, weight, round(priority * 1e9, 6) AS priority_x1e9
       FROM r ORDER BY priority DESC, doc_id LIMIT 50"""))
 
-  val all: Seq[GraftQuery] = Seq(q81, q82, q84, q85, q94, q120, q124, q127)
+  /** q138 — k-anonymity / l-diversity audit (Sweeney 2002, "k-anonymity:
+    * a model for protecting privacy"; Machanavajjhala et al. 2007,
+    * "l-diversity"): the release-gate privacy check that pairs with q108's
+    * PII scrub — before user-derived records feed a training mix, every
+    * quasi-identifier equivalence class must be large enough (k) and its
+    * sensitive attribute varied enough (l) that no row re-identifies.
+    * Quasi-identifiers: (nation, market segment); sensitive attribute:
+    * account-balance band (1000-unit buckets).
+    *
+    * Scale shape: ONE hash aggregation keyed by the QI tuple (map-side
+    * partial count + partial distinct), output bounded by the QI domain
+    * (25×5 here) — the audit costs one pass at any corpus size, and the
+    * verdict booleans make the release gate a scan of the audit table. */
+  val q138 = GraftQuery(
+    "q138_kanonymity_audit",
+    (s, d) => {
+      val (kMin, lMin) = (5, 3)
+      t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("bal_bucket")).as("l_diversity"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("class_size"), col("l_diversity"),
+          (col("class_size") >= kMin).as("k_anonymous"),
+          (col("l_diversity") >= lMin).as("l_diverse"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    },
+    Some("""WITH b AS (SELECT c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+               FROM customer),
+        g AS (SELECT c_nationkey, c_mktsegment,
+                CAST(count(*) AS BIGINT) AS class_size,
+                CAST(count(DISTINCT bal_bucket) AS BIGINT) AS l_diversity
+              FROM b GROUP BY 1, 2)
+      SELECT c_nationkey, c_mktsegment, class_size, l_diversity,
+             class_size >= 5 AS k_anonymous, l_diversity >= 3 AS l_diverse
+      FROM g ORDER BY c_nationkey, c_mktsegment"""),
+    note = "privacy release gate: one QI-keyed bounded aggregation; " +
+      "pairs with q108's PII scrub")
+
+  val all: Seq[GraftQuery] =
+    Seq(q81, q82, q84, q85, q94, q120, q124, q127, q138)
 }

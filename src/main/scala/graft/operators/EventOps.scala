@@ -546,6 +546,47 @@ object EventOps {
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
       FROM events GROUP BY user_id % 10 ORDER BY bucket"""))
 
+  /** q140 — event-time interval join (view → purchase attribution within
+    * one hour, per user): the BATCH twin of a Structured Streaming
+    * stream-stream join — the one §2.11 surface the engine had not yet
+    * pinned. The join condition is exactly the canonical stream-stream
+    * shape (equi-key on user + a two-sided time range), which is what
+    * lets the streaming form bound its state: with watermarks on both
+    * streams, a buffered view can be evicted one hour past the watermark.
+    * [[graft.streaming.StreamingOps.intervalJoinStream]] is the streaming
+    * form; StreamingSpec pins it to this query's rows batch-for-batch.
+    *
+    * Scale shape: ONE shuffle keyed by user_id on each side, then a
+    * per-key sort-merge within the hour band — never a time-cross
+    * product. Lag is emitted in exact microseconds (`unix_micros`), the
+    * only cross-engine-safe timestamp arithmetic. */
+  val q140 = GraftQuery(
+    "q140_interval_join_attrib",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("vts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+      v.join(p, Seq("user_id"))
+        .filter(col("pts") > col("vts") &&
+          col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          (unix_micros(col("pts")) - unix_micros(col("vts"))).as("lag_us"))
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    },
+    Some("""SELECT v.user_id, v.event_id AS view_id,
+             p.event_id AS purchase_id,
+             epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+      FROM events v JOIN events p ON p.user_id = v.user_id
+      WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      ORDER BY v.user_id, view_id, purchase_id"""),
+    note = "batch twin of the stream-stream interval join " +
+      "(StreamingOps.intervalJoinStream); StreamingSpec pins parity")
+
   val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q48, q49, q53,
-    q54, q73, q74, q86, q87, q93, q95, q97, q98, q116)
+    q54, q73, q74, q86, q87, q93, q95, q97, q98, q116, q140)
 }

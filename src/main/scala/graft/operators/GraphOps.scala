@@ -30,7 +30,11 @@ object GraphOps {
 
   /** Directed nation-level trade graph: customer's nation → supplier's
     * nation for every observed (order, lineitem) trade lane, self-loops
-    * dropped, deduplicated to distinct lanes. */
+    * dropped, deduplicated to distinct lanes. `localCheckpoint` (the
+    * q81/q121 iterative-graph discipline) pays the fact-table join ONCE
+    * and hands every superstep / self-join a materialized node²-bounded
+    * edge list — without it the 3-superstep PageRank re-scanned the fact
+    * tables 12× (plan audit, round 7). */
   private def tradeEdges(s: SparkSession, d: String): DataFrame =
     t(s, d, "customer")
       .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"))
@@ -39,6 +43,7 @@ object GraphOps {
       .filter(col("c_nationkey") =!= col("s_nationkey"))
       .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .distinct()
+      .localCheckpoint()
 
   private val q131 = GraftQuery(
     "q131_pagerank_trade_graph",
@@ -52,18 +57,18 @@ object GraphOps {
         .select(col("node"), expr("1000000 div nn").as("r"))
       for (_ <- 1 to Iters) {
         val sums = edges
-          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-          .join(outdeg, Seq("src"))
+          .join(broadcast(ranks.withColumnRenamed("node", "src")), Seq("src"))
+          .join(broadcast(outdeg), Seq("src"))
           .select(col("dst").as("node"), expr("r div od").as("c"))
           .groupBy(col("node")).agg(sum(col("c")).as("s"))
-        ranks = nodes.join(sums, Seq("node"), "left")
+        ranks = nodes.join(broadcast(sums), Seq("node"), "left")
           .crossJoin(broadcast(st))
           .select(col("node"),
             expr("150000 div nn + (17 * coalesce(s, 0L)) div 20").as("r"))
       }
       ranks
         .join(t(s, d, "nation"), col("node") === col("n_nationkey"))
-        .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .join(broadcast(outdeg.withColumnRenamed("src", "node")), Seq("node"), "left")
         .select(col("node").as("nation_key"), col("n_name"),
           col("r").as("pr_micro"),
           coalesce(col("od"), lit(0L)).as("out_deg"))
@@ -107,5 +112,77 @@ object GraphOps {
         LEFT JOIN outdeg o ON o.src = r3.node
       ORDER BY pr_micro DESC, nation_key"""))
 
-  val all: Seq[GraftQuery] = Seq(q131)
+  /** q137 — triangle counting over the undirected trade graph: the
+    * clustering-coefficient numerator, the standard graph-density signal a
+    * corpus-graph analysis computes (same family as q131's link authority;
+    * reference's implied `ai_clustering_service` graph analyses,
+    * /root/reference/backend/routes.py:5).
+    *
+    * Algorithm: canonical edge orientation a < b (each triangle counted
+    * exactly once as a < b < c), then the two-path ⋈ closing-edge join —
+    * the distributed MapReduce formulation of Suri & Vassilvitskii 2011
+    * ("Counting Triangles and the Curse of the Last Reducer", WWW).
+    * Scale shape: both joins are equi-joins keyed by node; the canonical
+    * orientation bounds the two-path fan-out by the SMALLER endpoint's
+    * degree (at web scale one orients by degree, same plan). Per-node
+    * attribution is one explode + bounded aggregation over node keys. */
+  val q137 = GraftQuery(
+    "q137_triangle_count",
+    (s, d) => {
+      val und = tradeEdges(s, d)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+        .localCheckpoint()
+      val tri = und.as("e1")
+        .join(broadcast(und.as("e2")), col("e1.b") === col("e2.a"))
+        .join(broadcast(und.as("e3")),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val perNode = tri
+        .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      val deg = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      t(s, d, "nation")
+        .join(broadcast(perNode), col("n_nationkey") === perNode("node"), "left")
+        .drop("node")
+        .join(broadcast(deg), col("n_nationkey") === deg("node"), "left")
+        .select(col("n_nationkey").as("nation_key"), col("n_name"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"),
+          coalesce(col("degree"), lit(0L)).as("degree"))
+        .orderBy(col("triangles").desc, col("nation_key"))
+    },
+    Some("""WITH edges AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM customer c
+          JOIN orders o ON o.o_custkey = c.c_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey),
+      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+                JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+             FROM (SELECT x AS node FROM tri
+                   UNION ALL SELECT y FROM tri
+                   UNION ALL SELECT z FROM tri)
+             GROUP BY node),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+              FROM (SELECT a AS node FROM und
+                    UNION ALL SELECT b FROM und)
+              GROUP BY node)
+      SELECT n.n_nationkey AS nation_key, n.n_name,
+             coalesce(pn.triangles, 0) AS triangles,
+             coalesce(deg.degree, 0) AS degree
+      FROM nation n
+        LEFT JOIN pn ON pn.node = n.n_nationkey
+        LEFT JOIN deg ON deg.node = n.n_nationkey
+      ORDER BY triangles DESC, nation_key"""))
+
+  val all: Seq[GraftQuery] = Seq(q131, q137)
 }

@@ -304,8 +304,76 @@ object MLPipelineOps {
       FROM toks GROUP BY doc_id ORDER BY doc_id"""
     })
 
+  /** q139 — Johnson-Lindenstrauss random projection (Achlioptas 2003,
+    * "Database-friendly random projections": a dense ±1 sign matrix
+    * preserves pairwise distances in expectation — the cheap
+    * dimensionality-reduction stage ahead of clustering / ANN indexing,
+    * 64 → 16 dims here). The q105 fixed-point discipline makes it
+    * hash-checkable: embeddings quantize to a 1e-6 integer grid, the sign
+    * matrix derives from md5(i:j) parity (engine-portable, no RNG state),
+    * and each output coordinate is an exact integer dot product.
+    *
+    * Scale shape: the 64×16 sign matrix collapses to ONE broadcast row of
+    * 16 sign vectors; projection is then a narrow per-row map
+    * (`transform` over output dims, `zip_with` dot product inside) — ZERO
+    * shuffle on the fact table, the only acceptable cost for a transform
+    * every embedding passes through. The oracle computes the same algebra
+    * via explode + group-by; identical integers either way. */
+  val q139 = GraftQuery(
+    "q139_jl_random_projection",
+    (s, d) => {
+      val OutDims = 16
+      val ev = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("ev"))
+      // sign(i,j) = 1 - 2·(md5("i:j") mod 2), materialized once as a
+      // single row holding one 64-long sign vector per output dim
+      val mat = s.range(1, 65).select(col("id").as("i"))
+        .crossJoin(s.range(1, OutDims + 1).select(col("id").as("j")))
+        .select(col("i"), col("j"),
+          (lit(1L) - lit(2L) * (graft.functions.HashFunctions.md5Int(
+            concat(col("i").cast("string"), lit(":"),
+              col("j").cast("string"))) % 2)).as("sgn"))
+      val smatRow = mat.groupBy(col("j"))
+        .agg(array_sort(collect_list(struct(col("i"), col("sgn")))).as("is"))
+        .select(col("j"),
+          transform(col("is"), x => x.getField("sgn")).as("ss"))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("j"), col("ss")))).as("js"))
+        .select(transform(col("js"), x => x.getField("ss")).as("smat"))
+      ev.crossJoin(broadcast(smatRow))
+        .select(col("vec_id"), col("label"),
+          transform(sequence(lit(1), lit(OutDims)), j =>
+            aggregate(
+              zip_with(element_at(col("smat"), j), col("ev"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x)).as("proj"))
+        .select(col("vec_id"), col("label"),
+          concat_ws(",", transform(col("proj"), x => x.cast("string")))
+            .as("proj_csv"),
+          aggregate(col("proj"), lit(0L), (a, x) => a + abs(x)).as("l1_norm"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH ev AS (SELECT vec_id, label,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS evec
+        FROM embeddings),
+        mat AS (SELECT i, j,
+            1 - 2 * (('0x' || substr(md5(i || ':' || j), 1, 8))::BIGINT % 2) AS sgn
+          FROM range(1, 65) t1(i), range(1, 17) t2(j)),
+        p AS (SELECT e.vec_id, e.label, m.j,
+            CAST(sum(m.sgn * e.evec[m.i]) AS BIGINT) AS p
+          FROM ev e CROSS JOIN mat m GROUP BY 1, 2, 3),
+        o AS (SELECT vec_id, label, list(p ORDER BY j) AS proj
+          FROM p GROUP BY vec_id, label)
+      SELECT vec_id, label,
+        array_to_string(proj, ',') AS proj_csv,
+        CAST(list_sum(list_transform(proj, x -> abs(x))) AS BIGINT) AS l1_norm
+      FROM o ORDER BY vec_id"""),
+    note = "Achlioptas ±1 JL transform on the 1e-6 integer grid: sign " +
+      "matrix broadcasts as one row, projection is a shuffle-free map")
+
   /** Driver-registry entries — q61/q65 deliberately excluded (see their
     * scaladoc): the registry carries only oracle-checkable queries; the
     * MLlib rungs remain library surface covered by QueriesSpec. */
-  val all: Seq[GraftQuery] = Seq(q60, q62, q63, q64, q70)
+  val all: Seq[GraftQuery] = Seq(q60, q62, q63, q64, q70, q139)
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.GraftQuery
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate (sketch) aggregates — the operators a 100-TB corpus-stats
@@ -319,5 +319,66 @@ object SketchOps {
       "exact-hashes; the booleans are the in-query error contract " +
       "(oracle pins them TRUE, q122-style)")
 
-  val all: Seq[GraftQuery] = Seq(q122, q123, q129, q133)
+  /** q134 — Count-Min sketch point-frequency estimation (Cormode &
+    * Muthukrishnan, "An improved data stream summary: the count-min sketch
+    * and its applications", J. Algorithms 2005): the fifth sketch family —
+    * the OVERCOUNT-only complement of Misra-Gries (q129, undercount-only).
+    * A 100-TB token-frequency probe never materializes the vocabulary: the
+    * sketch is a fixed d×w counter grid (here 4×32 over a ~31-token
+    * vocabulary, so collisions are real), built in ONE bounded aggregation
+    * — map-side combine collapses the d-times-replicated stream into ≤ d·w
+    * cells per partition, the shuffle carries ≤ d·w rows total, and the
+    * grid broadcasts back for point queries.
+    *
+    * Unlike HLL/GK (engine-specific internals → q122/q123 check contracts
+    * in-query), CM is fully deterministic given the hash family: bucket =
+    * md5(row ':' token) 48-bit prefix mod w — the [[graft.functions.HashFunctions]]
+    * portability construction — so EVERY column (estimate included)
+    * exact-hashes cross-engine. `over_ok` (est ≥ exact, the CM one-sided
+    * theorem) rides as the in-query contract boolean, q122-style. */
+  val q134 = GraftQuery(
+    "q134_countmin_freq",
+    (s, d) => {
+      val dep = 4
+      val w = 32
+      val toks = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      def bucket(r: Column, tok: Column): Column =
+        conv(substring(md5(concat(r.cast("string"), lit(":"), tok)), 1, 12),
+          16, 10).cast("long") % w
+      val cells = toks
+        .select(explode(sequence(lit(0), lit(dep - 1))).as("r"), col("tok"))
+        .select(col("r"), bucket(col("r"), col("tok")).as("b"))
+        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cell"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(10)
+      top
+        .select(col("tok"), col("cnt"),
+          explode(sequence(lit(0), lit(dep - 1))).as("r"))
+        .withColumn("b", bucket(col("r"), col("tok")))
+        .join(broadcast(cells), Seq("r", "b"))
+        .groupBy(col("tok"), col("cnt")).agg(min(col("cell")).as("est"))
+        .select(col("tok"), col("cnt"), col("est"),
+          (col("est") >= col("cnt")).as("over_ok"))
+        .orderBy(col("cnt").desc, col("tok"))
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+        cells AS (SELECT t.r,
+                    ('0x' || substr(md5(t.r || ':' || toks.tok), 1, 12))::BIGINT % 32 AS b,
+                    CAST(count(*) AS BIGINT) AS cell
+                  FROM toks CROSS JOIN range(0, 4) t(r) GROUP BY 1, 2),
+        top AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks
+                GROUP BY tok ORDER BY cnt DESC, tok LIMIT 10),
+        probe AS (SELECT top.tok, top.cnt, c.cell
+                  FROM top CROSS JOIN range(0, 4) t(r)
+                  JOIN cells c ON c.r = t.r
+                   AND c.b = ('0x' || substr(md5(t.r || ':' || top.tok), 1, 12))::BIGINT % 32)
+      SELECT tok, cnt, min(cell) AS est, TRUE AS over_ok
+      FROM probe GROUP BY tok, cnt ORDER BY cnt DESC, tok"""),
+    note = "CM grid is md5-deterministic, so the estimate itself " +
+      "exact-hashes cross-engine; over_ok pins the one-sided CM theorem " +
+      "in-query (q122 discipline)")
+
+  val all: Seq[GraftQuery] = Seq(q122, q123, q129, q133, q134)
 }

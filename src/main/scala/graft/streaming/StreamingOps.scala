@@ -50,6 +50,31 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream event-time interval join (batch twin: q140): view →
+    * purchase attribution within one hour per user. Both inputs carry the
+    * `events` schema and a watermark; the two-sided time-range condition
+    * is what bounds the join state — a buffered view is evictable one
+    * hour past the purchase-side watermark, so state is
+    * O(watermark × rate), never O(stream). Output matches q140's columns
+    * exactly (StreamingSpec pins row-set parity on the harness data). */
+  def intervalJoinStream(views: DataFrame, purchases: DataFrame,
+                         watermark: String = "2 hours"): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+      .withWatermark("vts", watermark)
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("pts") > col("vts") &&
+          col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("vts"))).as("lag_us"))
+  }
+
   /** Stateful streaming dedup with bounded state (batch twin: q44;
     * the watermarked fix for the reference's unbounded seen-set). */
   def dedupStream(events: DataFrame,

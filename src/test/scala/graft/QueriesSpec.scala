@@ -794,6 +794,82 @@ class QueriesSpec extends SparkSpec {
       r.getAs[Long]("rho") * 1000000L / r.getAs[Long]("k_eff"))
   }
 
+  test("q134 count-min: overcount-only, est bounded by the stream length") {
+    val rows = QueryRegistry.byName("q134_countmin_freq").fn(spark, sf).collect()
+    assert(rows.length == 10)
+    val n = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("over_ok"))
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("cnt"))
+      assert(r.getAs[Long]("est") <= n)
+    }
+  }
+
+  test("q135 Morton invariant: a 2^26-code bucket confines both dims to 2^13") {
+    val rows = QueryRegistry.byName("q135_zorder_layout_audit")
+      .fn(spark, sf).collect()
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b < 64)
+      assert(r.getAs[Long]("x_span") <= 8192, s"bucket $b x_span")
+      assert(r.getAs[Long]("y_span") <= 8192, s"bucket $b y_span")
+    }
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    assert(total == Tables.t(spark, sf, "lineitem").count())
+  }
+
+  test("q136 bigram rarity: fractions in range, verdict consistent") {
+    val rows = QueryRegistry.byName("q136_bigram_rarity_score")
+      .fn(spark, sf).collect()
+    rows.foreach { r =>
+      val rm = r.getAs[Long]("rare_micro")
+      assert(rm >= 0 && rm <= 1000000)
+      assert(r.getAs[Long]("mean_bg_count") >= 1)
+      assert(r.getAs[Boolean]("keep") == (rm < 200000))
+    }
+  }
+
+  test("q137 triangles: per-node counts sum to a multiple of 3") {
+    val rows = QueryRegistry.byName("q137_triangle_count").fn(spark, sf).collect()
+    val n = rows.length
+    assert(rows.map(_.getAs[Long]("triangles")).sum % 3 == 0)
+    rows.foreach(r => assert(r.getAs[Long]("degree") <= n - 1))
+  }
+
+  test("q138 k-anonymity: classes partition the customer table") {
+    val rows = QueryRegistry.byName("q138_kanonymity_audit").fn(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("class_size")).sum ==
+      Tables.t(spark, sf, "customer").count())
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("k_anonymous") == (r.getAs[Long]("class_size") >= 5))
+      assert(r.getAs[Long]("l_diversity") <= r.getAs[Long]("class_size"))
+    }
+  }
+
+  test("q139 JL projection: 16 dims, l1 consistent, distances preserved in sign") {
+    val rows = QueryRegistry.byName("q139_jl_random_projection")
+      .fn(spark, sf).collect()
+    assert(rows.length == Tables.t(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      val proj = r.getAs[String]("proj_csv").split(",").map(_.toLong)
+      assert(proj.length == 16)
+      assert(proj.map(math.abs).sum == r.getAs[Long]("l1_norm"))
+    }
+  }
+
+  test("q140 interval join: every lag inside (0, 1h], pairs unique") {
+    val rows = QueryRegistry.byName("q140_interval_join_attrib")
+      .fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lag = r.getAs[Long]("lag_us")
+      assert(lag > 0 && lag <= 3600L * 1000000)
+    }
+    val pairs = rows.map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("purchase_id")))
+    assert(pairs.distinct.length == pairs.length)
+  }
+
   test("q101 pivot: cell matrix sums to the direct revenue total") {
     val rows = QueryRegistry.byName("q101_pivot_revenue_matrix").fn(spark, sf)
     val cells = rows.collect().map { r =>

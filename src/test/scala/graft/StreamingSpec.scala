@@ -140,6 +140,30 @@ class StreamingSpec extends SparkSpec {
       Set((10L, 1L)))
   }
 
+  test("stream-stream interval join matches the q140 batch twin on harness data") {
+    implicit val sqlCtx = spark.sqlContext
+    val evRows = Tables.t(spark, sf, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+    val vs = MemoryStream[Ev]
+    val ps = MemoryStream[Ev]
+    val joined = graft.streaming.StreamingOps
+      .intervalJoinStream(vs.toDF(), ps.toDF())
+    val q = joined.writeStream.format("memory").queryName("ssj_q140")
+      .outputMode("append").start()
+    vs.addData(evRows); ps.addData(evRows)
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+        r.getAs[Long]("purchase_id"), r.getAs[Long]("lag_us"))
+    val streamed = spark.table("ssj_q140").collect().map(key).toSet
+    val batch = QueryRegistry.byName("q140_interval_join_attrib")
+      .fn(spark, sf).collect().map(key).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("foreachBatch curation loop: parse+dedup+merge across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_curation").toString
