@@ -587,6 +587,61 @@ object EventOps {
     note = "batch twin of the stream-stream interval join " +
       "(StreamingOps.intervalJoinStream); StreamingSpec pins parity")
 
+  /** q141 — SCD Type-2 history build (Kimball's slowly-changing-dimension
+    * pattern): turn a change-event stream into versioned dimension rows
+    * with validity intervals — the standard warehouse maintenance op that
+    * complements q14's SCD1 last-writer-wins. Per user, consecutive
+    * duplicate states collapse; each surviving change opens a version
+    * whose `valid_to_us` is the next change's timestamp (-1 sentinel =
+    * current row, per the null-free house rule).
+    *
+    * Scale shape: ONE shuffle keyed by the dimension key; the
+    * change-detect lag, interval lead, and version number all ride the
+    * same (user_id | ts) sort order, so both Window nodes sit over that
+    * one Exchange — no per-window re-shuffle (plan-audited; the only
+    * other Exchange is the output sort). */
+  val q141 = GraftQuery(
+    "q141_scd2_history_build",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes
+        .withColumn("valid_from_us", unix_micros(col("ts")))
+        .withColumn("valid_to_us",
+          coalesce(unix_micros(lead(col("ts"), 1).over(w)), lit(-1L)))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("version"),
+          col("event_type").as("state"),
+          col("valid_from_us"), col("valid_to_us"),
+          (col("valid_to_us") === -1L).as("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    },
+    Some("""WITH m AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      c AS (SELECT user_id, event_id, ts, event_type FROM m
+            WHERE prev IS NULL OR prev <> event_type),
+      v AS (SELECT user_id, event_type AS state,
+              epoch_us(ts) AS valid_from_us,
+              coalesce(epoch_us(lead(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)), -1)
+                AS valid_to_us,
+              CAST(row_number() OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                AS version
+            FROM c)
+      SELECT user_id, version, state, valid_from_us, valid_to_us,
+             valid_to_us = -1 AS is_current
+      FROM v ORDER BY user_id, version"""),
+    note = "SCD2 dimension maintenance: one user-keyed exchange, all " +
+      "three windows share its sort; -1 sentinel keeps the output null-free")
+
   val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q48, q49, q53,
-    q54, q73, q74, q86, q87, q93, q95, q97, q98, q116, q140)
+    q54, q73, q74, q86, q87, q93, q95, q97, q98, q116, q140, q141)
 }

@@ -753,7 +753,49 @@ object Relational {
           AS cov_qty_disc
       FROM s ORDER BY l_returnflag"""))
 
+  /** q143 — incremental aggregate maintenance (the materialized-view
+    * refresh pattern): a stored aggregate STATE (orders before the cutoff)
+    * absorbs a DELTA batch (orders at/after it) by merging algebraic
+    * partials — counts add, fixed-point sums add, min/max combine — and
+    * the merged result must equal the full recompute, which is exactly
+    * what the oracle twin computes. At 100 TB this is the difference
+    * between re-scanning the fact table per refresh and touching ONLY the
+    * new batch: state is group-bounded (5 rows here), the delta scan is
+    * the only fact-sized work, and the merge is a 2×groups union-agg.
+    * The revenue partial stays in fixp long units (q01's exact
+    * fixed-point discipline) until AFTER the merge, so partial+final is
+    * bit-identical to the one-shot decimal sum. Non-algebraic aggregates
+    * (distinct counts) need sketches instead — that path is q122's HLL.
+    */
+  private val q143 = GraftQuery(
+    "q143_incremental_agg_merge",
+    (s, d) => {
+      val cutoff = "1998-01-01"
+      val orders = t(s, d, "orders")
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(fixp(col("o_totalprice"))).as("rev_c"),
+            min(col("o_totalprice")).as("mn"),
+            max(col("o_totalprice")).as("mx"))
+      val state = partials(orders.filter(col("o_orderdate") < lit(cutoff)))
+      val delta = partials(orders.filter(col("o_orderdate") >= lit(cutoff)))
+      state.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n_orders"),
+          (sum(col("rev_c")).cast("double") / 100).as("revenue"),
+          min(col("mn")).as("min_price"), max(col("mx")).as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    note = "state+delta partial merge must equal the oracle's full " +
+      "recompute — the refresh-correctness contract of incremental view " +
+      "maintenance")
+
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q27, q51, q52, q55,
-    q58, q59, q67, q88, q89, q92, q96, q101, q107)
+    q58, q59, q67, q88, q89, q92, q96, q101, q107, q143)
 }

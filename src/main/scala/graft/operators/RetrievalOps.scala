@@ -97,5 +97,50 @@ object RetrievalOps {
              coalesce(vec_rank, 0) AS vec_rank
       FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10"""))
 
-  val all: Seq[GraftQuery] = Seq(q130)
+  /** q142 — positional-postings phrase search: the inverted-index
+    * operation BM25 (q90) cannot answer — "these words ADJACENT, in this
+    * order". Build positional postings (term, doc, position) by explode,
+    * then resolve the phrase "fast spark" as an equi-join of the two
+    * terms' postings on (doc_id, adjacent positions) — exactly how a
+    * search engine intersects postings lists, expressed as dataflow.
+    *
+    * Scale shape: the postings build is a narrow explode (and at 100 TB
+    * would be written ONCE, term-bucketed, as the persistent index — the
+    * BandIndexStore pattern); the phrase probe filters to the two query
+    * terms BEFORE the join, so join input is bounded by term frequency,
+    * not corpus size, and the adjacency match is an equi-join on
+    * (doc_id, pos) — no inequality blowup. */
+  val q142 = GraftQuery(
+    "q142_phrase_search_postings",
+    (s, d) => {
+      import graft.functions.TextFunctions.tokens
+      val postings = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(tokens(lower(col("text")))).as(Seq("pos0", "term")))
+        .select(col("doc_id"), col("term"),
+          (col("pos0") + 1).cast("long").as("pos"))
+      val first = postings.filter(col("term") === "fast")
+        .select(col("doc_id"), col("pos"))
+      val second = postings.filter(col("term") === "spark")
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      first.join(second, Seq("doc_id", "pos"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_occurrences"), min(col("pos")).as("first_pos"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS term,
+            CAST(generate_subscripts(string_split(lower(text), ' '), 1)
+              AS BIGINT) AS pos
+          FROM documents),
+        a AS (SELECT doc_id, pos FROM p WHERE term = 'fast'),
+        b AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'spark')
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+             min(pos) AS first_pos
+      FROM a JOIN b USING (doc_id, pos)
+      GROUP BY doc_id ORDER BY doc_id"""),
+    note = "phrase query = postings equi-join on (doc, adjacent pos); " +
+      "probe cost bounded by term frequency, not corpus size")
+
+  val all: Seq[GraftQuery] = Seq(q130, q142)
 }

@@ -870,6 +870,65 @@ class QueriesSpec extends SparkSpec {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  test("q141 SCD2: dense versions, contiguous intervals, one current row per user") {
+    val rows = QueryRegistry.byName("q141_scd2_history_build")
+      .fn(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, hist) =>
+      val sorted = hist.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq ==
+        (1L to sorted.length).toSeq, s"user $u versions not dense")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"),
+            s"user $u interval gap at v${a.getAs[Long]("version")}")
+          assert(a.getAs[String]("state") != b.getAs[String]("state"),
+            s"user $u consecutive duplicate state")
+        case _ =>
+      }
+      assert(hist.count(_.getAs[Boolean]("is_current")) == 1,
+        s"user $u current-row count")
+      assert(sorted.last.getAs[Long]("valid_to_us") == -1L)
+    }
+  }
+
+  test("q142 phrase search: every hit doc really contains the adjacent phrase") {
+    val hits = QueryRegistry.byName("q142_phrase_search_postings")
+      .fn(spark, sf).collect()
+    assert(hits.nonEmpty)
+    val texts = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    hits.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).toLowerCase.split(" ")
+      val occ = toks.sliding(2).count(p => p.sameElements(Array("fast", "spark")))
+      assert(occ == r.getAs[Long]("n_occurrences"),
+        s"doc ${r.getAs[Long]("doc_id")}: $occ vs ${r.getAs[Long]("n_occurrences")}")
+      val fp = r.getAs[Long]("first_pos").toInt
+      assert(toks(fp - 1) == "fast" && toks(fp) == "spark")
+    }
+  }
+
+  test("q143 incremental merge equals the direct one-shot aggregate") {
+    val merged = QueryRegistry.byName("q143_incremental_agg_merge")
+      .fn(spark, sf).collect()
+    val direct = Tables.t(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Tables.dsum(col("o_totalprice")).as("revenue"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(merged.length == direct.length)
+    merged.zip(direct).foreach { case (m, dr) =>
+      assert(m.getAs[String]("o_orderpriority") == dr.getAs[String]("o_orderpriority"))
+      assert(m.getAs[Long]("n_orders") == dr.getAs[Long]("n_orders"))
+      assert(m.getAs[Double]("revenue") == dr.getAs[Double]("revenue"),
+        s"${m.getAs[String]("o_orderpriority")} revenue drift")
+      assert(m.getAs[Double]("min_price") == dr.getAs[Double]("min_price"))
+      assert(m.getAs[Double]("max_price") == dr.getAs[Double]("max_price"))
+    }
+  }
+
   test("q101 pivot: cell matrix sums to the direct revenue total") {
     val rows = QueryRegistry.byName("q101_pivot_revenue_matrix").fn(spark, sf)
     val cells = rows.collect().map { r =>
