@@ -32,7 +32,8 @@ object QueryRegistry {
       operators.ClusterOps.all ++
       operators.RetrievalOps.all ++
       operators.GraphOps.all ++
-      operators.LayoutOps.all
+      operators.LayoutOps.all ++
+      operators.StatsOps.all
 
   lazy val byName: Map[String, GraftQuery] =
     queries.map(q => q.name -> q).toMap

@@ -49,18 +49,27 @@ object HashFunctions {
   def md5Int(c: Column): Column = hexLong(md5(c), 1)
 
   /** Distinct 3-word shingles of a single-space-tokenized text.
-    * Spark `sequence`/`element_at` are 1-based like DuckDB list indexing;
-    * the when-guard avoids sequence(1,0) emitting a DESCENDING range. */
-  def shingles(toks: Column): Column =
+    *
+    * Built as zip_with over three aligned slices, NOT as
+    * `transform(sequence(...), i => element_at(toks, i)...)`: a non-lambda
+    * subexpression captured inside a higher-order-function lambda is
+    * re-evaluated on EVERY element, so when `toks` is a computed tree
+    * (`split(lower(text))` at most call sites) the element_at form costs
+    * O(len) splits per shingle — O(len²) per document, measured 45× on
+    * q136's bigram twin before the round-7 fix. Slices evaluate `toks` a
+    * constant 3× per row; zip_with then iterates materialized arrays.
+    * Output (order included) is identical to the element_at form. */
+  def shingles(toks: Column): Column = {
+    def sl(start: Int): Column =
+      slice(toks, lit(start), size(toks) - (ShingleN - 1))
     when(size(toks) >= ShingleN,
       array_distinct(
-        transform(
-          sequence(lit(1), size(toks) - (ShingleN - 1)),
-          i => concat_ws(" ",
-            element_at(toks, i),
-            element_at(toks, i + 1),
-            element_at(toks, i + 2)))))
+        zip_with(
+          zip_with(sl(1), sl(2), (a, b) => concat(a, lit(" "), b)),
+          sl(3),
+          (ab, c) => concat(ab, lit(" "), c))))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** DuckDB twin: range(1, n) is end-exclusive → 1..n-1. */
   def shinglesSql(toksExpr: String): String =

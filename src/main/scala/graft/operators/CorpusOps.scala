@@ -123,12 +123,15 @@ object CorpusOps {
   private val q111 = GraftQuery(
     "q111_repeated_spans",
     (s, d) => {
-      val toks = split(col("text"), " ")
-      val grams = transform(sequence(lit(1), size(toks) - 4),
-        i => concat_ws(" ", slice(toks, i, lit(5))))
+      // tk is materialized as an attribute BEFORE the transform so the
+      // per-element slice reads an array value instead of re-running
+      // split() per span (see HashFunctions.shingles)
+      val grams = transform(sequence(lit(1), size(col("tk")) - 4),
+        i => concat_ws(" ", slice(col("tk"), i, lit(5))))
       t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .filter(size(toks) >= 5)
+        .withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 5)
         .select(col("doc_id"), explode(grams).as("span"))
         .groupBy(col("span"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -321,11 +324,16 @@ object CorpusOps {
     "q136_bigram_rarity_score",
     (s, d) => {
       import graft.functions.TextFunctions.tokens
+      // zip_with over aligned slices, not element_at-in-transform — the
+      // captured split() would re-evaluate per element (O(len²) per doc;
+      // see HashFunctions.shingles)
       val bg = {
         val toks = tokens(lower(col("text")))
         when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => concat(a, lit(" "), b)))
           .otherwise(array().cast("array<string>"))
       }
       val docBg = t(s, d, "documents")

@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.Tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical / behavioral analytics operators — the product-analytics
+  * surface beyond plain aggregation (q95 z-scores, q107 correlation):
+  * behavior modeling (Markov transitions), pattern mining (association
+  * rules), hypothesis testing (chi-square), and inequality measurement
+  * (Gini). Everything follows the exact-integer house discipline: counts
+  * and micro-unit ratios via integer division, so every output
+  * hash-checks cross-engine (no float accumulation order anywhere).
+  */
+object StatsOps {
+
+  /** q144 — first-order Markov transition matrix over the event stream:
+    * P(next event type | current), the behavior model behind "what does a
+    * user do after a view". Per user, order by time; count (from → to)
+    * pairs; probability in micro units against the from-state's total.
+    *
+    * Scale shape: ONE user-keyed exchange for the lag window (the q141
+    * physique), then a (from,to)-keyed aggregation bounded by the
+    * event-type alphabet squared — the model itself is tiny no matter the
+    * stream size. */
+  val q144 = GraftQuery(
+    "q144_markov_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("to_state"))
+        .withColumn("from_state", lag(col("to_state"), 1).over(w))
+        .filter(col("from_state").isNotNull)
+      val wf = Window.partitionBy(col("from_state"))
+      pairs.groupBy(col("from_state"), col("to_state"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("from_total", sum(col("n")).over(wf))
+        .withColumn("p_micro", expr("(n * 1000000) div from_total"))
+        .orderBy(col("from_state"), col("to_state"))
+    },
+    Some("""WITH p AS (
+        SELECT user_id, event_type AS to_state,
+               lag(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS from_state
+        FROM events),
+      c AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+            FROM p WHERE from_state IS NOT NULL
+            GROUP BY from_state, to_state)
+      SELECT from_state, to_state, n,
+             CAST(sum(n) OVER (PARTITION BY from_state) AS BIGINT)
+               AS from_total,
+             (n * 1000000) // CAST(sum(n) OVER (PARTITION BY from_state)
+               AS BIGINT) AS p_micro
+      FROM c ORDER BY from_state, to_state"""),
+    note = "behavior model: alphabet^2-bounded output, one user-keyed " +
+      "exchange regardless of stream size")
+
+  /** q145 — association-rule mining over order baskets (Agrawal & Srikant
+    * 1994, the Apriori support/confidence/lift measures, here computed
+    * directly for item PAIRS): which parts co-occur in an order beyond
+    * chance. support = co-occurrence count, confidence = P(b|a), lift =
+    * P(a,b)/(P(a)P(b)) — confidence and lift in exact micro units.
+    *
+    * Scale shape: the pair generator is a self-join keyed by the ORDER
+    * (fan-out bounded by basket size squared, never corpus-cross); item
+    * supports are an item-keyed bounded aggregation broadcast back; the
+    * top-k by lift is TakeOrderedAndProject. At 100 TB nothing but the
+    * basket scan grows. */
+  val q145 = GraftQuery(
+    "q145_association_rules",
+    (s, d) => {
+      val basket = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = basket.select(col("ok")).distinct()
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+      val supItem = basket.groupBy(col("pk"))
+        .agg(count(lit(1)).as("sup"))
+      val pairs = basket.as("a")
+        .join(basket.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+        .agg(count(lit(1)).as("sup_pair"))
+      pairs
+        .join(broadcast(supItem.withColumnRenamed("pk", "part_a")
+          .withColumnRenamed("sup", "sup_a")), Seq("part_a"))
+        .join(broadcast(supItem.withColumnRenamed("pk", "part_b")
+          .withColumnRenamed("sup", "sup_b")), Seq("part_b"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("part_a"), col("part_b"),
+          col("sup_pair"), col("sup_a"), col("sup_b"),
+          expr("(sup_pair * 1000000) div sup_a").as("conf_micro"),
+          expr("(sup_pair * n_orders * 1000000) div (sup_a * sup_b)")
+            .as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("part_a"), col("part_b"))
+        .limit(50)
+    },
+    Some("""WITH basket AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+            FROM basket),
+      sup AS (SELECT pk, CAST(count(*) AS BIGINT) AS sup
+              FROM basket GROUP BY pk),
+      pairs AS (SELECT a.pk AS part_a, b.pk AS part_b,
+                  CAST(count(*) AS BIGINT) AS sup_pair
+                FROM basket a JOIN basket b
+                  ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY a.pk, b.pk)
+      SELECT part_a, part_b, sup_pair, sa.sup AS sup_a, sb.sup AS sup_b,
+             (sup_pair * 1000000) // sa.sup AS conf_micro,
+             (sup_pair * n.n_orders * 1000000) // (sa.sup * sb.sup)
+               AS lift_micro
+      FROM pairs
+        JOIN sup sa ON sa.pk = part_a
+        JOIN sup sb ON sb.pk = part_b, n
+      ORDER BY lift_micro DESC, part_a, part_b LIMIT 50"""),
+    note = "Apriori pair rules: order-keyed self-join bounded by basket " +
+      "size, supports broadcast, top-k by lift")
+
+  /** q146 — chi-square test of independence between event type and a user
+    * cohort bucket: the A/B-test significance primitive. The statistic is
+    * computed entirely in integers (no float division anywhere; q107's
+    * rounded-double corr is the float-discipline contrast). Per cell,
+    * with d = |O·N − rt·ct| (algebraically N²·|O−E|, E = rt·ct/N):
+    * contribution_micro = ((10³·d) div (rt·ct)) · ((10³·d) div N)
+    * — two staged milli-precision divisions whose product is
+    * 10⁶·(O−E)²/E up to the defined truncation. The staging keeps every
+    * intermediate ≤ 10³·N² (int64-safe past sf100, where the naive
+    * 10⁶·d² form overflows already at sf0.1), and d ≥ 0 keeps integer
+    * division trunc-vs-floor-agnostic across engines. Output: every cell
+    * with observed, expected_milli, contribution, and the chi2 total via
+    * a window.
+    *
+    * Scale shape: one alphabet×buckets-bounded aggregation; marginals via
+    * windows over the ≤20-row contingency table. */
+  val q146 = GraftQuery(
+    "q146_chi2_independence",
+    (s, d) => {
+      val cells = t(s, d, "events")
+        .select(col("event_type"), (col("user_id") % 4).as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("o"))
+      val wr = Window.partitionBy(col("event_type"))
+      val wc = Window.partitionBy(col("bucket"))
+      val wAll = Window.partitionBy()
+      cells
+        .withColumn("rt", sum(col("o")).over(wr))
+        .withColumn("ct", sum(col("o")).over(wc))
+        .withColumn("n", sum(col("o")).over(wAll))
+        .withColumn("expected_milli", expr("(rt * ct * 1000) div n"))
+        .withColumn("contrib_micro",
+          expr("((1000 * abs(o * n - rt * ct)) div (rt * ct)) * " +
+            "((1000 * abs(o * n - rt * ct)) div n)"))
+        .withColumn("chi2_micro", sum(col("contrib_micro")).over(wAll))
+        .select(col("event_type"), col("bucket"), col("o"),
+          col("expected_milli"), col("contrib_micro"), col("chi2_micro"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+    Some("""WITH cells AS (
+        SELECT event_type, user_id % 4 AS bucket,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, bucket, o,
+              CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+              CAST(sum(o) OVER (PARTITION BY bucket) AS BIGINT) AS ct,
+              CAST(sum(o) OVER () AS BIGINT) AS n
+            FROM cells),
+      c AS (SELECT event_type, bucket, o,
+              (rt * ct * 1000) // n AS expected_milli,
+              ((1000 * abs(o * n - rt * ct)) // (rt * ct)) *
+                ((1000 * abs(o * n - rt * ct)) // n) AS contrib_micro
+            FROM m)
+      SELECT event_type, bucket, o, expected_milli, contrib_micro,
+             CAST(sum(contrib_micro) OVER () AS BIGINT) AS chi2_micro
+      FROM c ORDER BY event_type, bucket"""),
+    note = "all-integer chi-square: per-cell truncation is part of the " +
+      "defined output, so the statistic hash-checks exactly")
+
+  /** q147 — Gini coefficient of customer spend: the inequality measure a
+    * mixture-rebalancing pipeline uses to quantify domain concentration
+    * (and the classic revenue-concentration KPI). Exact-integer form of
+    * the rank formula G = (2·Σ i·x_i)/(n·Σx) − (n+1)/n over
+    * ascending-sorted fixp-cents spend:
+    * gini_micro = (2·10^6·Σ(i·x_i) − 10^6·(n+1)·S) div (n·S).
+    *
+    * Scale note: the rank window is unpartitioned but runs over the
+    * CUSTOMER aggregate (dimension-sized), not the fact table — same
+    * contract as q109's vocabulary ranking. At larger-than-dimension
+    * cardinalities the rank would come from a range-partitioned sort +
+    * partition-offset pass instead; the fact-table side here is ONE
+    * hash aggregation. Overflow discipline: spend is in WHOLE currency
+    * units and the micro scaling divides BEFORE multiplying
+    * (t1 = 2R div n, then 10^6·t1 div S) — the direct
+    * 10^6·(2R−(n+1)S) form overflows int64 already at sf0.01 in cents;
+    * this staging holds to ~sf10 (headroom audited against 2^63,
+    * dsum's discipline). */
+  val q147 = GraftQuery(
+    "q147_gini_spend",
+    (s, d) => {
+      val spend = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(fixp(col("o_totalprice"), 0)).as("units"))
+      val w = Window.orderBy(col("units"), col("o_custkey"))
+      spend
+        .withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).cast("long").as("n_customers"),
+          sum(col("units")).as("total_units"),
+          sum(col("i") * col("units")).as("ranked_sum"))
+        .select(col("n_customers"), col("total_units"),
+          expr("((2 * ranked_sum) div n_customers * 1000000) " +
+            "div total_units - " +
+            "(1000000 * (n_customers + 1)) div n_customers")
+            .as("gini_micro"))
+    },
+    Some("""WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT))
+                 AS BIGINT) AS units
+        FROM orders GROUP BY o_custkey),
+      r AS (SELECT units,
+              CAST(row_number() OVER (ORDER BY units, o_custkey)
+                AS BIGINT) AS i
+            FROM spend),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
+              CAST(sum(units) AS BIGINT) AS total_units,
+              CAST(sum(i * units) AS BIGINT) AS ranked_sum
+            FROM r)
+      SELECT n_customers, total_units,
+             ((2 * ranked_sum) // n_customers * 1000000) // total_units -
+               (1000000 * (n_customers + 1)) // n_customers AS gini_micro
+      FROM a"""),
+    note = "exact-integer Gini over the dimension-sized spend aggregate; " +
+      "fact side is one hash aggregation")
+
+  val all: Seq[GraftQuery] = Seq(q144, q145, q146, q147)
+}

@@ -929,6 +929,62 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q144 Markov: rows of the transition matrix are proper distributions") {
+    val rows = QueryRegistry.byName("q144_markov_transitions")
+      .fn(spark, sf).collect()
+    val ev = Tables.t(spark, sf, "events")
+    val expectedPairs = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expectedPairs)
+    rows.groupBy(_.getAs[String]("from_state")).foreach { case (fs, grp) =>
+      val tot = grp.head.getAs[Long]("from_total")
+      assert(grp.map(_.getAs[Long]("n")).sum == tot, s"$fs marginal")
+      grp.foreach(r => assert(r.getAs[Long]("p_micro") <= 1000000L))
+    }
+  }
+
+  test("q145 association rules: support/confidence consistency") {
+    val rows = QueryRegistry.byName("q145_association_rules")
+      .fn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      val (sp, sa, sb) = (r.getAs[Long]("sup_pair"),
+        r.getAs[Long]("sup_a"), r.getAs[Long]("sup_b"))
+      assert(sp <= math.min(sa, sb))
+      assert(r.getAs[Long]("conf_micro") == sp * 1000000L / sa)
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+    }
+  }
+
+  test("q146 chi-square: marginals reconcile, statistic is the contribution sum") {
+    val rows = QueryRegistry.byName("q146_chi2_independence")
+      .fn(spark, sf).collect()
+    val n = Tables.t(spark, sf, "events").count()
+    assert(rows.map(_.getAs[Long]("o")).sum == n)
+    val chi2 = rows.head.getAs[Long]("chi2_micro")
+    assert(rows.forall(_.getAs[Long]("chi2_micro") == chi2))
+    assert(rows.map(_.getAs[Long]("contrib_micro")).sum == chi2)
+    // per-cell truncation loses < 1 milli-unit per cell
+    assert(math.abs(rows.map(_.getAs[Long]("expected_milli")).sum - 1000 * n)
+      <= rows.length)
+  }
+
+  test("q147 Gini matches an independent driver-side recomputation") {
+    val r = QueryRegistry.byName("q147_gini_spend").fn(spark, sf).head()
+    val units = Tables.t(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(Tables.fixp(col("o_totalprice"), 0)).as("units"))
+      .orderBy(col("units"), col("o_custkey"))
+      .collect().map(_.getAs[Long]("units"))
+    val nC = units.length.toLong
+    val s = units.sum
+    val ranked = units.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val gini = 2 * ranked / nC * 1000000L / s - 1000000L * (nC + 1) / nC
+    assert(r.getAs[Long]("n_customers") == nC)
+    assert(r.getAs[Long]("total_units") == s)
+    assert(r.getAs[Long]("gini_micro") == gini)
+    assert(gini >= 0 && gini < 1000000L)
+  }
+
   test("q101 pivot: cell matrix sums to the direct revenue total") {
     val rows = QueryRegistry.byName("q101_pivot_revenue_matrix").fn(spark, sf)
     val cells = rows.collect().map { r =>
