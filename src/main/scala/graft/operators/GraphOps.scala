@@ -126,14 +126,19 @@ object GraphOps {
     * orientation bounds the two-path fan-out by the SMALLER endpoint's
     * degree (at web scale one orients by degree, same plan). Per-node
     * attribution is one explode + bounded aggregation over node keys. */
+  /** Canonically-oriented (a < b) undirected edge list of the trade
+    * graph, materialized once (q137/q148 share it). */
+  private def undirected(s: SparkSession, d: String): DataFrame =
+    tradeEdges(s, d)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint()
+
   val q137 = GraftQuery(
     "q137_triangle_count",
     (s, d) => {
-      val und = tradeEdges(s, d)
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
-        .localCheckpoint()
+      val und = undirected(s, d)
       val tri = und.as("e1")
         .join(broadcast(und.as("e2")), col("e1.b") === col("e2.a"))
         .join(broadcast(und.as("e3")),
@@ -184,5 +189,75 @@ object GraphOps {
         LEFT JOIN deg ON deg.node = n.n_nationkey
       ORDER BY triangles DESC, nation_key"""))
 
-  val all: Seq[GraftQuery] = Seq(q131, q137)
+  /** q148 — BFS hop distance from a source node over the undirected
+    * trade graph: the reachability/radius primitive that rounds out the
+    * graph family (q81/q121 connected components, q131 PageRank, q137
+    * triangles). Pregel-style frontier expansion for a FIXED number of
+    * supersteps: each round joins the previous frontier against the
+    * adjacency list and labels newly-reached nodes; unreached stays -1
+    * (the null-free sentinel).
+    *
+    * Scale shape: per superstep, ONE node-keyed equi-join (frontier ⋈
+    * adjacency — frontier broadcast when node-sized) + one distinct;
+    * the distance vector stays node-sized and `localCheckpoint` per
+    * round truncates lineage exactly as q121's label propagation does.
+    * Plan depth is bounded by the fixed 3 rounds. */
+  val q148 = GraftQuery(
+    "q148_bfs_hops",
+    (s, d) => {
+      val und = undirected(s, d)
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+      var dist = t(s, d, "nation")
+        .select(col("n_nationkey").as("node"),
+          when(col("n_nationkey") === 0, 0L).otherwise(-1L).as("hops"))
+        .localCheckpoint()
+      for (k <- 1 to 3) {
+        val frontier = dist.filter(col("hops") === k - 1)
+          .select(col("node").as("u"))
+        val reached = adj.join(broadcast(frontier), "u")
+          .select(col("v").as("node")).distinct()
+        dist = dist
+          .join(broadcast(reached.withColumn("r", lit(1))), Seq("node"), "left")
+          .select(col("node"),
+            when(col("hops") >= 0, col("hops"))
+              .when(col("r").isNotNull, lit(k.toLong))
+              .otherwise(-1L).as("hops"))
+          .localCheckpoint()
+      }
+      dist
+        .join(t(s, d, "nation"), col("node") === col("n_nationkey"))
+        .select(col("node"), col("n_name"), col("hops"))
+        .orderBy(col("hops"), col("node"))
+    },
+    Some("""WITH edges AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM customer c
+          JOIN orders o ON o.o_custkey = c.c_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey),
+      und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges),
+      adj AS (SELECT a AS u, b AS v FROM und
+              UNION ALL SELECT b AS u, a AS v FROM und),
+      d1 AS (SELECT DISTINCT v AS node FROM adj WHERE u = 0),
+      d2 AS (SELECT DISTINCT a2.v AS node FROM adj a2
+             JOIN d1 ON a2.u = d1.node
+             WHERE a2.v <> 0 AND a2.v NOT IN (SELECT node FROM d1)),
+      d3 AS (SELECT DISTINCT a3.v AS node FROM adj a3
+             JOIN d2 ON a3.u = d2.node
+             WHERE a3.v <> 0 AND a3.v NOT IN (SELECT node FROM d1)
+               AND a3.v NOT IN (SELECT node FROM d2))
+      SELECT n.n_nationkey AS node, n.n_name,
+             CAST(CASE WHEN n.n_nationkey = 0 THEN 0
+                  WHEN n.n_nationkey IN (SELECT node FROM d1) THEN 1
+                  WHEN n.n_nationkey IN (SELECT node FROM d2) THEN 2
+                  WHEN n.n_nationkey IN (SELECT node FROM d3) THEN 3
+                  ELSE -1 END AS BIGINT) AS hops
+      FROM nation n ORDER BY hops, node"""),
+    note = "fixed-superstep Pregel BFS; frontier broadcast, distance " +
+      "vector node-sized, lineage truncated per round")
+
+  val all: Seq[GraftQuery] = Seq(q131, q137, q148)
 }

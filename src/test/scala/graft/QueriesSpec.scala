@@ -985,6 +985,17 @@ class QueriesSpec extends SparkSpec {
     assert(gini >= 0 && gini < 1000000L)
   }
 
+  test("q148 BFS: source at 0, reached levels contiguous from a frontier") {
+    val rows = QueryRegistry.byName("q148_bfs_hops").fn(spark, sf).collect()
+    val hops = rows.map(r => r.getAs[Long]("node") -> r.getAs[Long]("hops")).toMap
+    assert(hops(0L) == 0L)
+    assert(hops.values.forall(h => h >= -1 && h <= 3))
+    // every level-k node (k>=1) must have been reached from level k-1:
+    // levels are contiguous (no k without a k-1 elsewhere)
+    val levels = hops.values.filter(_ >= 0).toSet
+    (0L to levels.max).foreach(k => assert(levels.contains(k), s"gap at $k"))
+  }
+
   test("q101 pivot: cell matrix sums to the direct revenue total") {
     val rows = QueryRegistry.byName("q101_pivot_revenue_matrix").fn(spark, sf)
     val cells = rows.collect().map { r =>
