@@ -57,8 +57,15 @@ object StreamingOps {
     * hour past the purchase-side watermark, so state is
     * O(watermark × rate), never O(stream). Output matches q140's columns
     * exactly (StreamingSpec pins row-set parity on the harness data). */
+  /** `joinType` "inner" (default) matches q140 exactly; "leftOuter"
+    * additionally emits every UNCONVERTED view (purchase_id/lag_us = -1
+    * sentinels) once the watermark proves no purchase can still arrive —
+    * the abandonment feed. Outer rows require the watermark to pass the
+    * view's join window, so they surface with watermark delay (exactly
+    * Spark's contract for outer stream-stream joins). */
   def intervalJoinStream(views: DataFrame, purchases: DataFrame,
-                         watermark: String = "2 hours"): DataFrame = {
+                         watermark: String = "2 hours",
+                         joinType: String = "inner"): DataFrame = {
     val v = views.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("vts"))
@@ -70,9 +77,12 @@ object StreamingOps {
     v.join(p,
         col("user_id") === col("p_user_id") &&
           col("pts") > col("vts") &&
-          col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
-      .select(col("user_id"), col("view_id"), col("purchase_id"),
-        (unix_micros(col("pts")) - unix_micros(col("vts"))).as("lag_us"))
+          col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"),
+        joinType)
+      .select(col("user_id"), col("view_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(unix_micros(col("pts")) - unix_micros(col("vts")), lit(-1L))
+          .as("lag_us"))
   }
 
   /** Stateful streaming dedup with bounded state (batch twin: q44;

@@ -164,6 +164,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("left-outer interval join emits unconverted views once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val evRows = Tables.t(spark, sf, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+    val vs = MemoryStream[Ev]
+    val ps = MemoryStream[Ev]
+    val joined = graft.streaming.StreamingOps
+      .intervalJoinStream(vs.toDF(), ps.toDF(),
+        watermark = "1 minute", joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    vs.addData(evRows); ps.addData(evRows)
+    q.processAllAvailable()
+    // sentinel batch: pushes both watermarks past every view's window so
+    // the state store evicts and emits the unmatched views
+    val far = new Timestamp(evRows.map(_.ts.getTime).max + 10L * 3600 * 1000)
+    vs.addData(Ev(-1, far, -999, "view", 0))
+    ps.addData(Ev(-2, far, -999, "purchase", 0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ssj_outer").collect()
+      .filter(_.getAs[Long]("user_id") != -999L)
+    val matched = out.filter(_.getAs[Long]("purchase_id") != -1L)
+    val unmatched = out.filter(_.getAs[Long]("purchase_id") == -1L)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+        r.getAs[Long]("purchase_id"), r.getAs[Long]("lag_us"))
+    val batch = QueryRegistry.byName("q140_interval_join_attrib")
+      .fn(spark, sf).collect().map(key).toSet
+    assert(matched.map(key).toSet == batch,
+      "inner portion of the outer join must equal the q140 batch twin")
+    val allViews = evRows.filter(_.event_type == "view").map(_.event_id).toSet
+    assert((matched ++ unmatched).map(_.getAs[Long]("view_id")).toSet == allViews,
+      "every view must surface exactly once as matched or abandoned")
+    assert(matched.map(_.getAs[Long]("view_id")).toSet
+      .intersect(unmatched.map(_.getAs[Long]("view_id")).toSet).isEmpty,
+      "a converted view must not also emit an outer null row")
+    unmatched.foreach(r => assert(r.getAs[Long]("lag_us") == -1L))
+  }
+
   test("foreachBatch curation loop: parse+dedup+merge across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_curation").toString
