@@ -40,6 +40,12 @@ object LayoutOps {
     * bucket confines each dim to a 2^13-wide range. */
   private val BucketCodes = 1L << 26
 
+  /** Morton code of 16-bit grid columns named `x`,`y` — the write-path
+    * sort key: `df.repartitionByRange(n, zCol).sortWithinPartitions(zCol)`
+    * then write; ScaleSpec asserts the resulting per-file min/max
+    * footprints narrow on BOTH dims vs an arrival-order write. */
+  def zCol: org.apache.spark.sql.Column = expr(zTerms("div"))
+
   val q135 = GraftQuery(
     "q135_zorder_layout_audit",
     (s, d) => {

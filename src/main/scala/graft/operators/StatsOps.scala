@@ -236,5 +236,58 @@ object StatsOps {
     note = "exact-integer Gini over the dimension-sized spend aggregate; " +
       "fact side is one hash aggregation")
 
-  val all: Seq[GraftQuery] = Seq(q144, q145, q146, q147)
+  /** q149 — trend detection by rank delta: per year, rank brands by
+    * order volume; a brand's rank movement vs the previous year is the
+    * "trending" signal (the corpus-curation analog: domain share drift
+    * across snapshots, the q114 diff aggregated to a leaderboard).
+    * Ranks are row_number with a total-order tiebreak, so the output is
+    * exact; -1 sentinel for a brand's first year.
+    *
+    * Scale shape: the fact join broadcasts the part dim; everything
+    * after the one (year, brand)-keyed aggregation — both windows, the
+    * delta — runs on a table bounded by years × brands, independent of
+    * fact size. */
+  val q149 = GraftQuery(
+    "q149_trending_rank_delta",
+    (s, d) => {
+      val counts = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          col("p_brand"))
+        .agg(count(lit(1)).as("n_items"))
+      val wYear = Window.partitionBy(col("yr"))
+        .orderBy(col("n_items").desc, col("p_brand"))
+      val wBrand = Window.partitionBy(col("p_brand")).orderBy(col("yr"))
+      counts
+        .withColumn("rnk", row_number().over(wYear).cast("long"))
+        .withColumn("prev_rnk", lag(col("rnk"), 1).over(wBrand))
+        .select(col("yr"), col("p_brand"), col("n_items"), col("rnk"),
+          coalesce(col("prev_rnk"), lit(-1L)).as("prev_rnk"),
+          coalesce(col("prev_rnk") - col("rnk"), lit(0L)).as("rank_delta"))
+        .orderBy(col("yr"), col("rnk"))
+    },
+    Some("""WITH counts AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr, p.p_brand,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2),
+      r AS (SELECT yr, p_brand, n_items,
+              CAST(row_number() OVER
+                (PARTITION BY yr ORDER BY n_items DESC, p_brand)
+                AS BIGINT) AS rnk
+            FROM counts),
+      dl AS (SELECT yr, p_brand, n_items, rnk,
+               lag(rnk) OVER (PARTITION BY p_brand ORDER BY yr) AS prev
+             FROM r)
+      SELECT yr, p_brand, n_items, rnk,
+             coalesce(prev, -1) AS prev_rnk,
+             coalesce(prev - rnk, 0) AS rank_delta
+      FROM dl ORDER BY yr, rnk"""),
+    note = "leaderboard drift: windows run on the years x brands table, " +
+      "never the fact; part dim broadcast into the one fact join")
+
+  val all: Seq[GraftQuery] = Seq(q144, q145, q146, q147, q149)
 }

@@ -996,6 +996,24 @@ class QueriesSpec extends SparkSpec {
     (0L to levels.max).foreach(k => assert(levels.contains(k), s"gap at $k"))
   }
 
+  test("q149 trending: ranks dense per year, deltas reconcile with prior year") {
+    val rows = QueryRegistry.byName("q149_trending_rank_delta")
+      .fn(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("yr")).foreach { case (y, grp) =>
+      val rnks = grp.map(_.getAs[Long]("rnk")).sorted
+      assert(rnks.toSeq == (1L to grp.length).toSeq, s"year $y ranks not dense")
+    }
+    val byKey = rows.map(r =>
+      (r.getAs[Long]("yr"), r.getAs[String]("p_brand")) -> r).toMap
+    rows.foreach { r =>
+      val prev = byKey.get((r.getAs[Long]("yr") - 1, r.getAs[String]("p_brand")))
+      val expected = prev.map(_.getAs[Long]("rnk")).getOrElse(-1L)
+      assert(r.getAs[Long]("prev_rnk") == expected)
+      if (expected != -1L)
+        assert(r.getAs[Long]("rank_delta") == expected - r.getAs[Long]("rnk"))
+    }
+  }
+
   test("q101 pivot: cell matrix sums to the direct revenue total") {
     val rows = QueryRegistry.byName("q101_pivot_revenue_matrix").fn(spark, sf)
     val cells = rows.collect().map { r =>

@@ -106,6 +106,36 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered write narrows per-file min/max footprints on both dims") {
+    val base = Tables.t(spark, sf, "lineitem")
+      .select(col("l_partkey").as("px"), col("l_suppkey").as("py"))
+    val stats = base.agg(max(col("px")).as("mx"), max(col("py")).as("my"))
+    val xy = base.crossJoin(broadcast(stats))
+      .selectExpr("(px * 65536) div (mx + 1) AS x",
+        "(py * 65536) div (my + 1) AS y")
+      .withColumn("z", graft.operators.LayoutOps.zCol)
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    xy.repartitionByRange(16, col("z")).sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(s"$dir/zorder")
+    xy.repartition(16).write.mode("overwrite").parquet(s"$dir/naive")
+    def meanSpans(path: String): (Double, Double) = {
+      val r = spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy(col("f"))
+        .agg((max(col("x")) - min(col("x"))).as("xs"),
+          (max(col("y")) - min(col("y"))).as("ys"))
+        .agg(avg(col("xs")), avg(col("ys"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (zx, zy) = meanSpans(s"$dir/zorder")
+    val (nx, ny) = meanSpans(s"$dir/naive")
+    // the naive (hash-scattered) layout spans ~the full domain per file;
+    // the Morton layout must narrow BOTH dims — this is exactly what
+    // parquet footer min/max pruning sees
+    assert(zx < nx / 2, s"x footprint: zorder $zx vs naive $nx")
+    assert(zy < ny / 2, s"y footprint: zorder $zy vs naive $ny")
+  }
+
   test("runtime bloom filter prunes the fact scan from a selective dim filter") {
     // At 100 TB, a selective dim predicate should semi-prune the fact
     // side BEFORE the shuffle (InjectRuntimeFilter): the fact scan gains
