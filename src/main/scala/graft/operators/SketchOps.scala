@@ -44,12 +44,16 @@ object SketchOps {
     import graft.functions.TextFunctions.tokens
     val toks = t(s, d, "documents")
       .select(col("lang"), explode(tokens(lower(col("text")))).as("tok"))
-    val perLang = toks.groupBy(col("lang"))
+    // cube on the single grouping column = grouping sets ((lang), ()):
+    // the per-language cells AND the corpus-wide cell come out of ONE
+    // pass over the exploded stream (the null cell relabels to __all__)
+    // instead of a second explode + union — mergeable-sketch partials
+    // make the () cell free alongside the (lang) cells
+    toks.cube(col("lang"))
       .agg(approx_count_distinct(col("tok"), 0.02).as("approx_tokens"))
-    val global = toks.agg(
-      lit("__all__").as("lang"),
-      approx_count_distinct(col("tok"), 0.02).as("approx_tokens"))
-    perLang.unionByName(global).orderBy(col("lang"))
+      .select(coalesce(col("lang"), lit("__all__")).as("lang"),
+        col("approx_tokens"))
+      .orderBy(col("lang"))
   }
 
   /** Pure GK-sketch quantile profile (the 100-TB shape): p25/p50/p75/p95
@@ -82,15 +86,13 @@ object SketchOps {
       import graft.functions.TextFunctions.tokens
       val toks = t(s, d, "documents")
         .select(col("lang"), explode(tokens(lower(col("text")))).as("tok"))
-      val perLang = toks.groupBy(col("lang"))
+      // one cube pass (see approxDistinct) carrying the HLL estimate and
+      // the exact distinct side by side
+      toks.cube(col("lang"))
         .agg(approx_count_distinct(col("tok"), 0.02).as("approx"),
           countDistinct(col("tok")).as("exact_tokens"))
-      val global = toks.agg(
-        lit("__all__").as("lang"),
-        approx_count_distinct(col("tok"), 0.02).as("approx"),
-        countDistinct(col("tok")).as("exact_tokens"))
-      perLang.unionByName(global)
-        .select(col("lang"), col("exact_tokens"),
+        .select(coalesce(col("lang"), lit("__all__")).as("lang"),
+          col("exact_tokens"),
           (abs(col("approx") - col("exact_tokens")).cast("double") <=
             col("exact_tokens").cast("double") * 0.06).as("within_3sigma"))
         .orderBy(col("lang"))
