@@ -142,5 +142,75 @@ object RetrievalOps {
     note = "phrase query = postings equi-join on (doc, adjacent pos); " +
       "probe cost bounded by term frequency, not corpus size")
 
-  val all: Seq[GraftQuery] = Seq(q130, q142)
+  /** q150 — percolation / reverse search (the Elasticsearch "percolator"
+    * operation): a registry of STORED queries is matched against the
+    * incoming document stream — the alerting/routing primitive (which
+    * saved searches does this new document satisfy?). Inverts q90/q142:
+    * there the query is one-off and the corpus is indexed; here the
+    * queries are the standing table. Stored queries are derived
+    * deterministically from the corpus itself (top-16 tokens paired
+    * rank i with rank i+8 → 8 two-term conjunctive queries) so the whole
+    * thing hash-checks with no side input.
+    *
+    * Scale shape: THE percolator shape — the stored-query term table is
+    * rule-registry-sized and broadcasts; the document stream is touched
+    * ONCE (distinct doc-term pairs → broadcast join → per-(query, doc)
+    * term-count == required-count). Nothing but the stream scan grows
+    * with corpus size, and the same dataflow runs under Structured
+    * Streaming for true alerting. */
+  val q150 = GraftQuery(
+    "q150_percolate_stored_queries",
+    (s, d) => {
+      import graft.functions.TextFunctions.tokens
+      val docTok = t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+        .distinct()
+      val top = docTok.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok")).limit(16)
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("df").desc, col("tok")))
+            .cast("long"))
+      val stored = top.filter(col("rn") <= 8)
+        .select(col("rn").as("qid"), col("tok").as("term1"))
+        .join(top.filter(col("rn") > 8)
+          .select((col("rn") - 8).as("qid"), col("tok").as("term2")), Seq("qid"))
+      val terms = stored.select(col("qid"), col("term1").as("tok"))
+        .union(stored.select(col("qid"), col("term2").as("tok")))
+      val matched = docTok.join(broadcast(terms), Seq("tok"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("hits"))
+        .filter(col("hits") === 2)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_matching_docs"))
+      stored.join(matched, Seq("qid"), "left")
+        .select(col("qid"), col("term1"), col("term2"),
+          coalesce(col("n_matching_docs"), lit(0L)).as("n_matching_docs"))
+        .orderBy(col("qid"))
+    },
+    Some("""WITH dt AS (SELECT DISTINCT doc_id,
+            unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents),
+        top AS (SELECT tok, CAST(row_number() OVER
+                  (ORDER BY count(*) DESC, tok) AS BIGINT) AS rn
+                FROM dt GROUP BY tok
+                ORDER BY count(*) DESC, tok LIMIT 16),
+        stored AS (SELECT a.rn AS qid, a.tok AS term1, b.tok AS term2
+                   FROM top a JOIN top b ON b.rn = a.rn + 8
+                   WHERE a.rn <= 8),
+        terms AS (SELECT qid, term1 AS tok FROM stored
+                  UNION ALL SELECT qid, term2 FROM stored),
+        m AS (SELECT t.qid, dt.doc_id
+              FROM dt JOIN terms t ON t.tok = dt.tok
+              GROUP BY t.qid, dt.doc_id HAVING count(*) = 2),
+        agg AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_matching_docs
+                FROM m GROUP BY qid)
+      SELECT s.qid, s.term1, s.term2,
+             coalesce(agg.n_matching_docs, 0) AS n_matching_docs
+      FROM stored s LEFT JOIN agg USING (qid)
+      ORDER BY qid"""),
+    note = "reverse search: rule registry broadcasts, document stream " +
+      "touched once; the alerting dataflow")
+
+  val all: Seq[GraftQuery] = Seq(q130, q142, q150)
 }

@@ -1014,6 +1014,21 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q150 percolate: match counts reconcile with a direct text scan") {
+    val rows = QueryRegistry.byName("q150_percolate_stored_queries")
+      .fn(spark, sf).collect()
+    assert(rows.length == 8)
+    val texts = Tables.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0).toLowerCase.split(" ").toSet)
+    rows.foreach { r =>
+      val (t1, t2) = (r.getAs[String]("term1"), r.getAs[String]("term2"))
+      assert(t1 != t2)
+      val direct = texts.count(ts => ts(t1) && ts(t2))
+      assert(r.getAs[Long]("n_matching_docs") == direct,
+        s"qid ${r.getAs[Long]("qid")}: engine ${r.getAs[Long]("n_matching_docs")} vs direct $direct")
+    }
+  }
+
   test("q101 pivot: cell matrix sums to the direct revenue total") {
     val rows = QueryRegistry.byName("q101_pivot_revenue_matrix").fn(spark, sf)
     val cells = rows.collect().map { r =>
