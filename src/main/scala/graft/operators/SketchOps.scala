@@ -46,12 +46,16 @@ object SketchOps {
       .select(col("lang"), explode(tokens(lower(col("text")))).as("tok"))
     // cube on the single grouping column = grouping sets ((lang), ()):
     // the per-language cells AND the corpus-wide cell come out of ONE
-    // pass over the exploded stream (the null cell relabels to __all__)
-    // instead of a second explode + union — mergeable-sketch partials
-    // make the () cell free alongside the (lang) cells
+    // pass over the exploded stream instead of a second explode + union —
+    // mergeable-sketch partials make the () cell free alongside the
+    // (lang) cells. The roll-up cell is identified by grouping(), NOT by
+    // lang IS NULL (ADVICE r7: a source group whose lang is literally
+    // NULL must stay distinguishable from the grand total).
     toks.cube(col("lang"))
-      .agg(approx_count_distinct(col("tok"), 0.02).as("approx_tokens"))
-      .select(coalesce(col("lang"), lit("__all__")).as("lang"),
+      .agg(approx_count_distinct(col("tok"), 0.02).as("approx_tokens"),
+        grouping(col("lang")).as("g"))
+      .select(when(col("g") === 1, lit("__all__"))
+          .otherwise(col("lang")).as("lang"),
         col("approx_tokens"))
       .orderBy(col("lang"))
   }
@@ -90,8 +94,10 @@ object SketchOps {
       // the exact distinct side by side
       toks.cube(col("lang"))
         .agg(approx_count_distinct(col("tok"), 0.02).as("approx"),
-          countDistinct(col("tok")).as("exact_tokens"))
-        .select(coalesce(col("lang"), lit("__all__")).as("lang"),
+          countDistinct(col("tok")).as("exact_tokens"),
+          grouping(col("lang")).as("g"))
+        .select(when(col("g") === 1, lit("__all__"))
+            .otherwise(col("lang")).as("lang"),
           col("exact_tokens"),
           (abs(col("approx") - col("exact_tokens")).cast("double") <=
             col("exact_tokens").cast("double") * 0.06).as("within_3sigma"))

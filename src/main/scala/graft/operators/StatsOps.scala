@@ -63,7 +63,9 @@ object StatsOps {
     * 1994, the Apriori support/confidence/lift measures, here computed
     * directly for item PAIRS): which parts co-occur in an order beyond
     * chance. support = co-occurrence count, confidence = P(b|a), lift =
-    * P(a,b)/(P(a)P(b)) — confidence and lift in exact micro units.
+    * P(a,b)/(P(a)P(b)) — confidence and lift in micro units with a staged
+    * (overflow-audited) integer division; the staged truncation is part
+    * of the defined output on both engines.
     *
     * Scale shape: the pair generator is a self-join keyed by the ORDER
     * (fan-out bounded by basket size squared, never corpus-cross); item
@@ -94,7 +96,14 @@ object StatsOps {
         .select(col("part_a"), col("part_b"),
           col("sup_pair"), col("sup_a"), col("sup_b"),
           expr("(sup_pair * 1000000) div sup_a").as("conf_micro"),
-          expr("(sup_pair * n_orders * 1000000) div (sup_a * sup_b)")
+          // staged like q146/q147/dsum's overflow discipline: divide by
+          // sup_a BEFORE multiplying by n_orders. Bound audit: the first
+          // factor is <= 1e6 (sup_pair <= sup_a), so the largest
+          // intermediate is 1e6 * n_orders — int64-safe while
+          // n_orders < 9.2e12, i.e. past sf1,000,000 (the one-expression
+          // form sup_pair*n_orders*1e6 overflowed once sup_pair*n_orders
+          // crossed 9.2e12, reachable at large sf for a hot pair).
+          expr("(((sup_pair * 1000000) div sup_a) * n_orders) div sup_b")
             .as("lift_micro"))
         .orderBy(col("lift_micro").desc, col("part_a"), col("part_b"))
         .limit(50)
@@ -112,7 +121,7 @@ object StatsOps {
                 GROUP BY a.pk, b.pk)
       SELECT part_a, part_b, sup_pair, sa.sup AS sup_a, sb.sup AS sup_b,
              (sup_pair * 1000000) // sa.sup AS conf_micro,
-             (sup_pair * n.n_orders * 1000000) // (sa.sup * sb.sup)
+             (((sup_pair * 1000000) // sa.sup) * n.n_orders) // sb.sup
                AS lift_micro
       FROM pairs
         JOIN sup sa ON sa.pk = part_a
@@ -241,7 +250,10 @@ object StatsOps {
     * "trending" signal (the corpus-curation analog: domain share drift
     * across snapshots, the q114 diff aggregated to a leaderboard).
     * Ranks are row_number with a total-order tiebreak, so the output is
-    * exact; -1 sentinel for a brand's first year.
+    * exact; prev_rnk comes from an EXPLICIT self-join on yr-1 (not a lag
+    * over observed years, which would inherit the last OBSERVED year's
+    * rank for a brand that skipped a year — ADVICE r7); -1 sentinel when
+    * the brand had no items in yr-1 at all.
     *
     * Scale shape: the fact join broadcasts the part dim; everything
     * after the one (year, brand)-keyed aggregation — both windows, the
@@ -258,13 +270,16 @@ object StatsOps {
         .agg(count(lit(1)).as("n_items"))
       val wYear = Window.partitionBy(col("yr"))
         .orderBy(col("n_items").desc, col("p_brand"))
-      val wBrand = Window.partitionBy(col("p_brand")).orderBy(col("yr"))
-      counts
+      val ranked = counts
         .withColumn("rnk", row_number().over(wYear).cast("long"))
-        .withColumn("prev_rnk", lag(col("rnk"), 1).over(wBrand))
+      // self-join on the years x brands table (dimension-sized; AQE
+      // broadcasts it) — strict yr-1 semantics, not last-observed-year
+      val prev = ranked.select(col("p_brand"),
+        (col("yr") + 1).as("yr"), col("rnk").as("py_rnk"))
+      ranked.join(prev, Seq("p_brand", "yr"), "left")
         .select(col("yr"), col("p_brand"), col("n_items"), col("rnk"),
-          coalesce(col("prev_rnk"), lit(-1L)).as("prev_rnk"),
-          coalesce(col("prev_rnk") - col("rnk"), lit(0L)).as("rank_delta"))
+          coalesce(col("py_rnk"), lit(-1L)).as("prev_rnk"),
+          coalesce(col("py_rnk") - col("rnk"), lit(0L)).as("rank_delta"))
         .orderBy(col("yr"), col("rnk"))
     },
     Some("""WITH counts AS (
@@ -278,16 +293,16 @@ object StatsOps {
               CAST(row_number() OVER
                 (PARTITION BY yr ORDER BY n_items DESC, p_brand)
                 AS BIGINT) AS rnk
-            FROM counts),
-      dl AS (SELECT yr, p_brand, n_items, rnk,
-               lag(rnk) OVER (PARTITION BY p_brand ORDER BY yr) AS prev
-             FROM r)
-      SELECT yr, p_brand, n_items, rnk,
-             coalesce(prev, -1) AS prev_rnk,
-             coalesce(prev - rnk, 0) AS rank_delta
-      FROM dl ORDER BY yr, rnk"""),
-    note = "leaderboard drift: windows run on the years x brands table, " +
-      "never the fact; part dim broadcast into the one fact join")
+            FROM counts)
+      SELECT r.yr, r.p_brand, r.n_items, r.rnk,
+             coalesce(p.rnk, -1) AS prev_rnk,
+             coalesce(p.rnk - r.rnk, 0) AS rank_delta
+      FROM r LEFT JOIN r p
+        ON p.p_brand = r.p_brand AND p.yr = r.yr - 1
+      ORDER BY r.yr, r.rnk"""),
+    note = "leaderboard drift: window + yr-1 self-join run on the " +
+      "years x brands table, never the fact; part dim broadcast into " +
+      "the one fact join")
 
   val all: Seq[GraftQuery] = Seq(q144, q145, q146, q147, q149)
 }
