@@ -642,6 +642,68 @@ object EventOps {
     note = "SCD2 dimension maintenance: one user-keyed exchange, all " +
       "three windows share its sort; -1 sentinel keeps the output null-free")
 
+  /** q153 — rate-limited interval-join attribution: q140 with the
+    * HOT-KEY DEFENSE composed IN FRONT of the join (VERDICT r7 #4 —
+    * ROUND7 §15 diagnosed q140's one genuine hot-key hazard: the
+    * interval join's output and its no-broadcast shuffle state grow as
+    * views × purchases PER USER inside the hour window, so a bot user
+    * spamming views makes the hot partition quadratic in its rate, and
+    * no join-side skew handling can absorb OUTPUT growth). The remedy
+    * the round-7 analysis named — upstream rate-limit/dedup — is q44's
+    * first-event dedup generalized to a time bucket: keep only the
+    * FIRST view per (user, 10-minute bucket) in event-time order
+    * (event_id tiebreak), bounding every user's join fan-in to ≤ 6
+    * views per attribution hour REGARDLESS of raw rate, before any
+    * pair is formed. Purchases are never discarded (the money side).
+    *
+    * Scale shape: the dedup is one (user, bucket)-keyed window over the
+    * view stream (output ≤ 1 row per key), then q140's user-keyed
+    * interval join — the hot key's pair count is now rate-independent.
+    * Streaming form: [[graft.streaming.StreamingOps
+    * .defendedIntervalJoinStream]] (dropDuplicatesWithinWatermark on the
+    * same key in front of the same stream-stream join; StreamingSpec
+    * pins parity on ordered replay). */
+  val q153 = GraftQuery(
+    "q153_rate_limited_attrib",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val wb = Window
+        .partitionBy(col("user_id"), col("vbucket"))
+        .orderBy(col("ts"), col("event_id"))
+      val v = ev.filter(col("event_type") === "view")
+        .withColumn("vbucket", expr("unix_micros(ts) div 600000000"))
+        .withColumn("rn", row_number().over(wb))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("vts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+      v.join(p, Seq("user_id"))
+        .filter(col("pts") > col("vts") &&
+          col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          (unix_micros(col("pts")) - unix_micros(col("vts"))).as("lag_us"))
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    },
+    Some("""WITH v AS (
+        SELECT user_id, event_id AS view_id, ts AS vts FROM (
+          SELECT user_id, event_id, ts,
+                 row_number() OVER
+                   (PARTITION BY user_id, epoch_us(ts) // 600000000
+                    ORDER BY ts, event_id) AS rn
+          FROM events WHERE event_type = 'view')
+        WHERE rn = 1)
+      SELECT v.user_id, v.view_id, p.event_id AS purchase_id,
+             epoch_us(p.ts) - epoch_us(v.vts) AS lag_us
+      FROM v JOIN events p ON p.user_id = v.user_id
+      WHERE p.event_type = 'purchase' AND p.ts > v.vts
+        AND p.ts <= v.vts + INTERVAL 1 HOUR
+      ORDER BY v.user_id, view_id, purchase_id"""),
+    note = "q140 with upstream rate-limit: first view per (user, 10-min " +
+      "bucket) bounds the hot user's pair growth before the join; " +
+      "streaming form = StreamingOps.defendedIntervalJoinStream")
+
   val all: Seq[GraftQuery] = Seq(q40, q41, q42, q43, q44, q48, q49, q53,
-    q54, q73, q74, q86, q87, q93, q95, q97, q98, q116, q140, q141)
+    q54, q73, q74, q86, q87, q93, q95, q97, q98, q116, q140, q141, q153)
 }

@@ -43,7 +43,15 @@ object GraphOps {
     * bounded job against the localCheckpoint'd edge list / dim table —
     * the same price q131's checkpoint already pays, and what a catalog's
     * table statistics would answer for free on a real deployment. */
-  private val BroadcastRowLimit = 100000L
+  private val DefaultBroadcastRowLimit = 100000L
+
+  /** Test hook: force the shuffle-keyed superstep path on tiny graphs so
+    * the broadcast/shuffle parity pin (QueriesSpec) can exercise both
+    * physical strategies on the same data. Production code never sets it. */
+  private[graft] var broadcastRowLimitOverride: Option[Long] = None
+
+  private def BroadcastRowLimit: Long =
+    broadcastRowLimitOverride.getOrElse(DefaultBroadcastRowLimit)
 
   private def bcIf(small: Boolean)(df: DataFrame): DataFrame =
     if (small) broadcast(df) else df

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.GraftQuery
 import graft.Tables._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators — the write-side half of scan performance. At
@@ -84,5 +85,87 @@ object LayoutOps {
       "footer stats multi-dim file skipping prunes on; write path is " +
       "repartitionByRange(z)")
 
-  val all: Seq[GraftQuery] = Seq(q135)
+  /** Compaction target bin size (bytes of the integer size model). */
+  val CompactionTarget = 1L << 20
+
+  /** File inventory of a fragmented streaming ingest, derived
+    * deterministically from the events stream: one "file" per 10-minute
+    * ingest bucket (the one-file-per-micro-batch pattern that creates
+    * the small-file problem), sized by an exact integer model
+    * (40 bytes/row framing + payload string lengths) so both engines
+    * agree bit-for-bit. Shared by q152 and ScaleSpec's materialized
+    * compaction test. */
+  def fileInventory(s: org.apache.spark.sql.SparkSession,
+                    d: String): org.apache.spark.sql.DataFrame =
+    t(s, d, "events")
+      .groupBy(expr("unix_micros(ts) div 600000000").as("file_id"))
+      .agg((count(lit(1)) * 40 + sum(length(col("event_type"))) +
+        sum(length(col("props")))).cast("long").as("bytes"),
+        count(lit(1)).as("n_rows"))
+
+  /** Per-file bin assignment: sorted next-fit-decreasing — files ordered
+    * by bytes DESC (file_id tiebreak), bin = exclusive running total
+    * div target. This is the greedy pass a Delta/Iceberg-style
+    * `OPTIMIZE` bin-packing compaction performs, expressed as ONE
+    * window over the FILE INVENTORY (bounded by ingest buckets /
+    * manifest size, never fact-sized — the q109/q147 unpartitioned-
+    * window contract; a real table format reads this from its manifest).
+    * Packing guarantee: each bin's total < target + its largest file. */
+  def compactionPlan(s: org.apache.spark.sql.SparkSession,
+                     d: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.orderBy(col("bytes").desc, col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    fileInventory(s, d)
+      .withColumn("prior", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"prior div $CompactionTarget"))
+  }
+
+  /** q152 — small-file compaction audit (VERDICT r7 #6): the third
+    * classic warehouse-maintenance write op next to Z-order (q135) and
+    * incremental agg merge (q143). Emits the compaction plan's per-bin
+    * summary with the packing bound checked IN-QUERY (the q122/q152
+    * gate discipline: `within_bound` = total < target + largest file —
+    * provably always true for sorted next-fit, so a violation flips the
+    * boolean and fails the hash gate). ScaleSpec materializes the plan
+    * (repartition by bin + partitionBy write) and asserts the physical
+    * layout matches: one file per bin, per-bin row counts equal. */
+  val q152 = GraftQuery(
+    "q152_compaction_binpack",
+    (s, d) => {
+      compactionPlan(s, d)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("bytes")).as("total_bytes"),
+          min(col("bytes")).as("min_file_bytes"),
+          max(col("bytes")).as("max_file_bytes"),
+          sum(col("n_rows")).as("n_rows"))
+        .withColumn("within_bound",
+          col("total_bytes") < lit(CompactionTarget) + col("max_file_bytes"))
+        .orderBy(col("bin"))
+    },
+    Some(s"""WITH files AS (
+        SELECT epoch_us(ts) // 600000000 AS file_id,
+               CAST(count(*) * 40 + sum(length(event_type)) +
+                    sum(length(props)) AS BIGINT) AS bytes,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1),
+      packed AS (
+        SELECT file_id, bytes, n_rows,
+               coalesce(CAST(sum(bytes) OVER (ORDER BY bytes DESC, file_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) // $CompactionTarget AS bin
+        FROM files)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(bytes) AS BIGINT) AS total_bytes,
+             min(bytes) AS min_file_bytes,
+             max(bytes) AS max_file_bytes,
+             CAST(sum(n_rows) AS BIGINT) AS n_rows,
+             CAST(sum(bytes) AS BIGINT) <
+               $CompactionTarget + max(bytes) AS within_bound
+      FROM packed GROUP BY bin ORDER BY bin"""),
+    note = "bin-packing compaction plan: sorted next-fit over the " +
+      "manifest-sized file inventory; packing bound checked in-query; " +
+      "ScaleSpec materializes the layout")
+
+  val all: Seq[GraftQuery] = Seq(q135, q152)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.GraftQuery
 import graft.Tables._
 import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -161,10 +162,7 @@ object RetrievalOps {
   val q150 = GraftQuery(
     "q150_percolate_stored_queries",
     (s, d) => {
-      import graft.functions.TextFunctions.tokens
-      val docTok = t(s, d, "documents")
-        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
-        .distinct()
+      val docTok = docTokens(s, d)
       val top = docTok.groupBy(col("tok"))
         .agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("tok")).limit(16)
@@ -212,5 +210,114 @@ object RetrievalOps {
     note = "reverse search: rule registry broadcasts, document stream " +
       "touched once; the alerting dataflow")
 
-  val all: Seq[GraftQuery] = Seq(q130, q142, q150)
+  /** Distinct (doc_id, token) pairs of the document corpus — the
+    * percolator family's stream-side projection. */
+  def docTokens(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      .distinct()
+  }
+
+  /** Deterministic MIXED-ARITY stored-query registry (q151 + the
+    * streaming percolator, VERDICT r7 #5): real rule registries mix
+    * arities, so q150's hard-coded two-term/hits==2 shape generalizes to
+    * per-query `n_required`. Derived from the corpus itself (no side
+    * input): top-18 tokens by document frequency ranked 1..18; query
+    * `qid` (1..6) carries the rank-qid term, plus rank qid+6 when its
+    * arity ≥ 2 and rank qid+12 when arity ≥ 3, with arity =
+    * ((qid-1) % 3) + 1 — so the registry holds two 1-term, two 2-term
+    * and two 3-term conjunctive queries. Returns
+    * (qid, n_required, term1, term2, term3) with NULL for absent terms
+    * (internal only — every REGISTRY OUTPUT built from this coalesces
+    * to the null-free house form). */
+  def storedQueriesMulti(s: SparkSession, d: String): DataFrame = {
+    val top = docTokens(s, d).groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(18)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("df").desc, col("tok")))
+          .cast("long"))
+    val spine = top.filter(col("rn") <= 6)
+      .select(col("rn").as("qid"), col("tok").as("term1"),
+        (((col("rn") - 1) % 3) + 1).as("n_required"))
+    val t2 = top.filter(col("rn").between(7, 12))
+      .select((col("rn") - 6).as("qid"), col("tok").as("term2"))
+    val t3 = top.filter(col("rn") >= 13)
+      .select((col("rn") - 12).as("qid"), col("tok").as("term3"))
+    spine.join(t2, Seq("qid")).join(t3, Seq("qid"))
+      .select(col("qid"), col("n_required"), col("term1"),
+        when(col("n_required") >= 2, col("term2")).as("term2"),
+        when(col("n_required") >= 3, col("term3")).as("term3"))
+  }
+
+  /** q151 — mixed-arity percolation: q150's reverse search with a
+    * per-query required-term count. Same percolator scale shape — the
+    * registry's term table broadcasts, the document stream is touched
+    * once, and the per-(query, doc) verdict is `hits == n_required`
+    * instead of a hard-coded 2. [[graft.streaming.StreamingOps
+    * .percolateStream]] runs the identical match against a document
+    * MemoryStream (StreamingSpec pins batch parity). */
+  val q151 = GraftQuery(
+    "q151_percolate_multiterm",
+    (s, d) => {
+      val stored = storedQueriesMulti(s, d)
+      val terms = stored.select(col("qid"), col("term1").as("tok"))
+        .union(stored.filter(col("n_required") >= 2)
+          .select(col("qid"), col("term2").as("tok")))
+        .union(stored.filter(col("n_required") >= 3)
+          .select(col("qid"), col("term3").as("tok")))
+      val matched = docTokens(s, d).join(broadcast(terms), Seq("tok"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("hits"))
+        .join(broadcast(stored.select(col("qid"), col("n_required"))),
+          Seq("qid"))
+        .filter(col("hits") === col("n_required"))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_matching_docs"))
+      stored.join(matched, Seq("qid"), "left")
+        .select(col("qid"), col("n_required"),
+          concat_ws(",", col("term1"), col("term2"), col("term3"))
+            .as("terms"),
+          coalesce(col("n_matching_docs"), lit(0L)).as("n_matching_docs"))
+        .orderBy(col("qid"))
+    },
+    Some("""WITH dt AS (SELECT DISTINCT doc_id,
+            unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents),
+        top AS (SELECT tok, CAST(row_number() OVER
+                  (ORDER BY count(*) DESC, tok) AS BIGINT) AS rn
+                FROM dt GROUP BY tok
+                ORDER BY count(*) DESC, tok LIMIT 18),
+        spine AS (SELECT rn AS qid, tok AS term1,
+                    ((rn - 1) % 3) + 1 AS n_required
+                  FROM top WHERE rn <= 6),
+        s2 AS (SELECT rn - 6 AS qid, tok AS term2 FROM top
+               WHERE rn BETWEEN 7 AND 12),
+        s3 AS (SELECT rn - 12 AS qid, tok AS term3 FROM top WHERE rn >= 13),
+        stored AS (SELECT q.qid, q.n_required, q.term1,
+                     CASE WHEN q.n_required >= 2 THEN s2.term2 END AS term2,
+                     CASE WHEN q.n_required >= 3 THEN s3.term3 END AS term3
+                   FROM spine q JOIN s2 USING (qid) JOIN s3 USING (qid)),
+        terms AS (SELECT qid, term1 AS tok FROM stored
+                  UNION ALL SELECT qid, term2 FROM stored WHERE n_required >= 2
+                  UNION ALL SELECT qid, term3 FROM stored WHERE n_required >= 3),
+        hits AS (SELECT t.qid, dt.doc_id, CAST(count(*) AS BIGINT) AS hits
+                 FROM dt JOIN terms t ON t.tok = dt.tok
+                 GROUP BY t.qid, dt.doc_id),
+        m AS (SELECT h.qid, h.doc_id FROM hits h
+              JOIN stored s ON s.qid = h.qid
+              WHERE h.hits = s.n_required),
+        agg AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_matching_docs
+                FROM m GROUP BY qid)
+      SELECT s.qid, s.n_required,
+             concat_ws(',', s.term1, s.term2, s.term3) AS terms,
+             coalesce(agg.n_matching_docs, 0) AS n_matching_docs
+      FROM stored s LEFT JOIN agg USING (qid)
+      ORDER BY qid"""),
+    note = "mixed-arity percolation: hits == per-query n_required; " +
+      "registry broadcasts, stream scanned once; streaming form = " +
+      "StreamingOps.percolateStream")
+
+  val all: Seq[GraftQuery] = Seq(q130, q142, q150, q151)
 }

@@ -70,6 +70,17 @@ object StreamingOps {
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("vts"))
       .withWatermark("vts", watermark)
+    joinPreparedStreams(v, purchases, watermark, joinType)
+  }
+
+  /** The interval join's purchase-side prep + join + projection, shared
+    * by [[intervalJoinStream]] and [[defendedIntervalJoinStream]] (whose
+    * view side arrives already watermarked — a branch may define its
+    * watermark only once). `v` must carry (user_id, view_id, vts) with a
+    * watermark already attached to its event-time column. */
+  private def joinPreparedStreams(v: DataFrame, purchases: DataFrame,
+                                  watermark: String,
+                                  joinType: String): DataFrame = {
     val p = purchases.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user_id"),
         col("event_id").as("purchase_id"), col("ts").as("pts"))
@@ -92,6 +103,59 @@ object StreamingOps {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Hot-key-DEFENDED stream-stream interval join (batch twin: q153;
+    * VERDICT r7 #4): the interval join's state and output grow as
+    * views × purchases per user inside the hour window, so a bot user
+    * spamming views makes its key quadratic in rate — and no join-side
+    * skew handling absorbs OUTPUT growth. The defense composes q44's
+    * watermarked dedup AS A RATE LIMIT in front of the join: keep one
+    * view per (user, 10-minute bucket) within the watermark, bounding
+    * every user's buffered-view fan-in to ≤ 6 per attribution hour
+    * before any pair forms. Purchases are never dropped.
+    *
+    * Parity with the batch twin holds under event-time-ordered per-user
+    * arrival (dropDuplicatesWithinWatermark keeps the first ARRIVED;
+    * the batch form keeps the first in EVENT TIME — same documented
+    * precondition as StreamingFunnel). StreamingSpec pins it. */
+  def defendedIntervalJoinStream(views: DataFrame, purchases: DataFrame,
+                                 watermark: String = "2 hours",
+                                 joinType: String = "inner"): DataFrame = {
+    // the view branch defines its watermark ONCE (before the dedup; it
+    // propagates through the rename into the join — redefining it on the
+    // renamed column is disallowed with multiple stateful operators)
+    val v = views.filter(col("event_type") === "view")
+      .withColumn("vbucket", expr("unix_micros(ts) div 600000000"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "vbucket")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+    joinPreparedStreams(v, purchases, watermark, joinType)
+  }
+
+  /** Streaming percolation (batch twins: q150/q151 — the alerting form
+    * RetrievalOps promises): match each arriving document against the
+    * standing rule registry `stored` (qid, n_required, terms ARRAY —
+    * rule-registry-sized, broadcast). STATELESS by construction: a doc
+    * row carries its whole token set, so the per-(rule, doc) verdict
+    * `|tokens ∩ terms| == n_required` needs no cross-row state — append
+    * mode needs no watermark, restart at any batch boundary is
+    * exactly-once for free, and nothing but the document stream scan
+    * grows with volume. Emits one (doc_id, qid) row per fired rule. */
+  def percolateStream(docs: DataFrame, stored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val reg = stored
+      .select(col("qid"), col("n_required"), col("terms"))
+      .withColumn("one", lit(1))
+    docs
+      .withColumn("toks", array_distinct(
+        graft.functions.TextFunctions.tokens(lower(col("text")))))
+      .withColumn("one", lit(1))
+      .join(broadcast(reg), Seq("one"))
+      .filter(size(array_intersect(col("toks"), col("terms"))).cast("long")
+        === col("n_required"))
+      .select(col("doc_id"), col("qid"))
+  }
 
   /** Custom per-key state via flatMapGroupsWithState (SURVEY §2.11) — the
     * arbitrary-state surface the built-in windows can't express: per user,

@@ -1038,6 +1038,97 @@ class QueriesSpec extends SparkSpec {
       .agg(Tables.dsum(col("o_totalprice"))).head().getDouble(0)
     assert(math.abs(cells - direct) < 1e-4, s"pivot $cells vs direct $direct")
   }
+
+  test("q151 multiterm percolate: mixed arities, counts reconcile with a direct scan") {
+    val rows = QueryRegistry.byName("q151_percolate_multiterm")
+      .fn(spark, sf).collect()
+    assert(rows.length == 6)
+    // arity pattern 1,2,3,1,2,3 and the terms string carries exactly
+    // n_required comma-separated distinct terms
+    assert(rows.map(_.getAs[Long]("n_required")).toSeq ==
+      Seq(1L, 2L, 3L, 1L, 2L, 3L))
+    val texts = Tables.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0).toLowerCase.split(" ").toSet)
+    rows.foreach { r =>
+      val terms = r.getAs[String]("terms").split(",").toSeq
+      assert(terms.length == r.getAs[Long]("n_required").toInt)
+      assert(terms.distinct == terms)
+      val direct = texts.count(ts => terms.forall(ts))
+      assert(r.getAs[Long]("n_matching_docs") == direct,
+        s"qid ${r.getAs[Long]("qid")}: engine " +
+          s"${r.getAs[Long]("n_matching_docs")} vs direct $direct")
+    }
+  }
+
+  test("q152 compaction: bins equal a sequential next-fit replay, bound holds") {
+    val inv = operators.LayoutOps.fileInventory(spark, sf)
+      .collect().map(r => (r.getAs[Long]("file_id"), r.getAs[Long]("bytes")))
+      .sortBy { case (id, b) => (-b, id) } // bytes DESC, file_id tiebreak
+    // sequential replay of the greedy pass the window expresses
+    val target = operators.LayoutOps.CompactionTarget
+    var prior = 0L
+    val manual = inv.map { case (_, b) =>
+      val bin = prior / target; prior += b; bin
+    }
+    val manualBins = manual.zip(inv).groupBy(_._1).map { case (bin, fs) =>
+      bin -> (fs.length.toLong, fs.map(_._2._2).sum, fs.map(_._2._2).max)
+    }
+    val rows = QueryRegistry.byName("q152_compaction_binpack")
+      .fn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length == manualBins.size)
+    rows.foreach { r =>
+      val (nf, tot, mx) = manualBins(r.getAs[Long]("bin"))
+      assert(r.getAs[Long]("n_files") == nf)
+      assert(r.getAs[Long]("total_bytes") == tot)
+      assert(r.getAs[Long]("max_file_bytes") == mx)
+      assert(r.getAs[Boolean]("within_bound"))
+      assert(tot < target + mx, "packing guarantee violated")
+    }
+  }
+
+  test("q153 defended join: subset of q140, exact on users the rate limit never touched") {
+    def keyed(name: String) = QueryRegistry.byName(name).fn(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+        r.getAs[Long]("purchase_id"), r.getAs[Long]("lag_us")))
+    val raw = keyed("q140_interval_join_attrib").toSet
+    val defended = keyed("q153_rate_limited_attrib").toSet
+    // the defense only REMOVES pairs (never invents or rewrites one)
+    assert(defended.subsetOf(raw))
+    // users whose view stream the rate limit left untouched (<= 1 view
+    // per 10-min bucket already) must attribute identically
+    val ev = Tables.t(spark, sf, "events")
+    val untouched = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 600000000"))
+      .count().groupBy(col("user_id")).agg(max("count").as("m"))
+      .filter(col("m") === 1).select("user_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(untouched.nonEmpty, "harness data has no rate-limit-clean users")
+    assert(raw.filter(t => untouched(t._1)) ==
+      defended.filter(t => untouched(t._1)),
+      "defense changed attribution for a user it should not have touched")
+    // sf0.001's sparse stream has no hot (user, bucket); the reduction
+    // behavior itself is pinned by StreamingSpec's synthetic bot user
+  }
+
+  test("q154 customer pagerank: shuffle-keyed supersteps match the broadcast plan") {
+    val name = "q154_pagerank_customer"
+    def run() = QueryRegistry.byName(name).fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("pr_units"))).toSeq
+    val viaBroadcast = run() // 165 nodes at sf0.001 -> under the limit
+    val viaShuffle =
+      try {
+        operators.GraphOps.broadcastRowLimitOverride = Some(0L)
+        run() // every conditional hint now takes the shuffle path
+      } finally operators.GraphOps.broadcastRowLimitOverride = None
+    assert(viaBroadcast.nonEmpty && viaBroadcast == viaShuffle,
+      "conditional broadcast hint changed the RESULT, not just the plan")
+    // descending total order with node tiebreak; bounded output
+    assert(viaBroadcast.length <= 100)
+    assert(viaBroadcast.sliding(2).forall {
+      case Seq((n1, r1), (n2, r2)) => r1 > r2 || (r1 == r2 && n1 < n2)
+      case _ => true
+    })
+  }
 }
 
 /** Exposes AssemblyOps geometry constants to tests without widening the

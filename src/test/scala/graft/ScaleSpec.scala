@@ -160,6 +160,38 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q152 compaction materialized: one file per bin, per-bin rows match the plan") {
+    // The registry row audits the PLAN; this materializes it — the
+    // physical rewrite a compaction job performs: rows keyed to their
+    // file's bin, one shuffle partition per bin (repartition by the bin
+    // column is hash-constant per bin, so partitionBy splits emit
+    // exactly one data file per bin dir), then a partitioned write.
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val plan = operators.LayoutOps.compactionPlan(spark, sf)
+      .select(col("file_id"), col("bin"))
+    Tables.t(spark, sf, "events")
+      .withColumn("file_id", expr("unix_micros(ts) div 600000000"))
+      .join(broadcast(plan), Seq("file_id"))
+      .drop("file_id")
+      .repartition(col("bin"))
+      .write.partitionBy("bin").parquet(s"$dir/compacted")
+    val expected = QueryRegistry.byName("q152_compaction_binpack")
+      .fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_rows")).toMap
+    val binDirs = new java.io.File(s"$dir/compacted").listFiles()
+      .filter(_.isDirectory).filter(_.getName.startsWith("bin="))
+    assert(binDirs.map(_.getName.stripPrefix("bin=").toLong).toSet ==
+      expected.keySet, "materialized bins differ from the plan")
+    binDirs.foreach { b =>
+      val files = b.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${b.getName}: compaction left ${files.length} files")
+    }
+    val actual = spark.read.parquet(s"$dir/compacted").groupBy("bin").count()
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("count")).toMap
+    assert(actual == expected, "per-bin row counts diverge from the plan")
+  }
+
   test("ScaleGen invariants: replica 0 byte-identical, cipher preserves " +
     "lengths/frequencies, replicas share no vocabulary") {
     val out = java.nio.file.Files.createTempDirectory("scalegen-test").toString

@@ -512,6 +512,106 @@ class StreamingSpec extends SparkSpec {
       .head().getAs[Long]("n") == 2L)
   }
 
+  test("streaming percolation fires the q151 rules per batch, across a restart") {
+    // The alerting form RetrievalOps promises: the stored-query registry
+    // (built offline from the corpus — the deployment model) broadcasts;
+    // documents stream through in two batches with a QUERY RESTART at the
+    // boundary; the accumulated (doc, rule) matches must equal an
+    // independent per-doc scan and aggregate to q151's counts.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_perc").toString
+    val stored = operators.RetrievalOps.storedQueriesMulti(spark, sf)
+      .select(col("qid"), col("n_required"),
+        array_compact(array(col("term1"), col("term2"), col("term3")))
+          .as("terms"))
+      .localCheckpoint() // freeze the registry (window over corpus stats)
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    def go(): Unit = {
+      // each go() is a NEW query resuming from the checkpoint: the batch
+      // boundary is also a restart boundary (stateless op — trivially
+      // exactly-once)
+      val q = graft.streaming.StreamingOps
+        .percolateStream(mem.toDF().toDF("doc_id", "text"), stored)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/matches")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    val (a, b) = docs.splitAt(docs.length / 2)
+    mem.addData(a.toIndexedSeq); go()
+    mem.addData(b.toIndexedSeq); go()
+    val got = spark.read.parquet(s"$dir/matches")
+      .select("doc_id", "qid").as[(Long, Long)].collect().toSet
+    // independent pin: plain Scala over the collected docs + registry
+    val reg = stored.collect().map(r => (r.getAs[Long]("qid"),
+      r.getAs[Long]("n_required"), r.getAs[Seq[String]]("terms").toSet))
+    val want = (for {
+      (id, text) <- docs
+      toks = text.toLowerCase.split(" ").toSet
+      (qid, nReq, terms) <- reg
+      if terms.count(toks) == nReq
+    } yield (id, qid)).toSet
+    assert(want.nonEmpty && got == want)
+    // and the per-rule totals equal the q151 registry row
+    val q151 = QueryRegistry.byName("q151_percolate_multiterm")
+      .fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("n_matching_docs")).toMap
+    val counts = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(q151.forall { case (qid, n) => counts.getOrElse(qid, 0L) == n })
+  }
+
+  test("defended interval join matches the q153 batch twin on ordered replay") {
+    implicit val sqlCtx = spark.sqlContext
+    def mic(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    // event-time-ordered replay: the documented parity precondition for
+    // dropDuplicatesWithinWatermark (first-ARRIVED == first in event
+    // time); two batches so dedup state must carry across the boundary
+    val harness = Tables.t(spark, sf, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    // synthetic BOT user: sf0.001's sparse stream never trips the rate
+    // limit, so append the hot key the defense exists for — 12 views
+    // inside ONE 10-minute bucket, one purchase 30 min later. Undefended
+    // that's 12 attribution pairs; defended it must be exactly one (the
+    // first view), proving the limiter actually bounds hot-key fan-in.
+    val botBase = harness.map(e => mic(e.ts)).max + 3600000000L
+    val botBucketStart = (botBase / 600000000L + 1) * 600000000L
+    def botTs(us: Long) = new Timestamp(us / 1000) // micros % 1000 == 0 here
+    val botViews = (0 until 12).map(i =>
+      Ev(10000000L + i, botTs(botBucketStart + i * 1000000L), 999999L,
+        "view", 0.0))
+    val botBuy = Ev(10000100L, botTs(botBucketStart + 1800000000L), 999999L,
+      "purchase", 1.0)
+    val evRows = (harness ++ botViews :+ botBuy)
+      .sortBy(e => (mic(e.ts), e.event_id)).toSeq
+    val vs = MemoryStream[Ev]
+    val ps = MemoryStream[Ev]
+    val joined = graft.streaming.StreamingOps
+      .defendedIntervalJoinStream(vs.toDF(), ps.toDF())
+    val q = joined.writeStream.format("memory").queryName("ssj_defended")
+      .outputMode("append").start()
+    val (a, b) = evRows.splitAt(evRows.length / 2)
+    vs.addData(a); ps.addData(a); q.processAllAvailable()
+    vs.addData(b); ps.addData(b); q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+        r.getAs[Long]("purchase_id"), r.getAs[Long]("lag_us"))
+    val streamed = spark.table("ssj_defended").collect().map(key).toSet
+    val batch = QueryRegistry.byName("q153_rate_limited_attrib")
+      .fn(spark, sf).collect().map(key).toSet
+    val botPair = (999999L, 10000000L, 10000100L, 1800000000L)
+    assert(batch.nonEmpty && streamed == batch + botPair,
+      s"extra=${streamed -- batch - botPair} missing=${batch + botPair -- streamed}")
+    // exactly ONE bot pair survived out of the 12 the raw join would emit
+    assert(streamed.count(_._1 == 999999L) == 1)
+  }
+
   test("streaming funnel equals the batch funnel (q97) on ordered replay") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.UserEvent
