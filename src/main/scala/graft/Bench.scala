@@ -306,7 +306,13 @@ object Bench {
         val med = ratios(ratios.size / 2)
         val tot = shared.map(_._2).sum
         val refTot = shared.map { case (n, _) => ref(n) }.sum
-        s""""quiet_ref":{"shared":${shared.size},"total":${f3(tot)},"ref_total":${f3(refTot)},"median_query_ratio":${f3(med)},"residual_inflation":${med > 1.15}}"""
+        // adjusted_total (VERDICT r7 #7): when residual box inflation
+        // fires, the headline total still reads raw — divide out the
+        // median per-query ratio so a reader of the headline alone can't
+        // mistake box weather for a regression (median, not total ratio:
+        // one genuine single-query regression must not deflate the rest).
+        val adj = results.map(_._2).filter(_ >= 0).sum / med
+        s""""quiet_ref":{"shared":${shared.size},"total":${f3(tot)},"ref_total":${f3(refTot)},"median_query_ratio":${f3(med)},"residual_inflation":${med > 1.15},"adjusted_total":${f3(adj)}}"""
       }
     }.getOrElse(""""quiet_ref":{"shared":0}""")
     // Full per-query map + ALL raw passes go to the file only: with 100+

@@ -26,7 +26,12 @@ object ScaleBench {
       "q118_hard_negative_ann", "q20_vector_topk", "q01_pricing_summary",
       "q08_running_sum_per_user", "q119_bpe_tokenize_apply",
       "q120_semantic_decontam", "q121_dedup_canonical",
-      "q124_bloom_prefilter_decontam")
+      "q124_bloom_prefilter_decontam",
+      // round 8: customer-granularity PageRank (shuffle-keyed superstep
+      // at sf1 — the node-count-honest degradation path), the compaction
+      // plan, mixed-arity percolation, the defended interval join
+      "q154_pagerank_customer", "q152_compaction_binpack",
+      "q151_percolate_multiterm", "q153_rate_limited_attrib")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
