@@ -19,8 +19,16 @@ OUT_DIR = args[1] if len(args) > 1 else "/tmp/verify_out"
 # of hanging the whole pass.
 JSON_OUT = opts.get("--json")
 TIMEOUT = float(opts.get("--timeout", "0") or 0)
+# --memlimit=48GB caps DuckDB's memory (spilling to temp instead of
+# eating the box): without it, a pathological CTE twin at sf1 consumed
+# all RAM, the Timer thread ITSELF died of MemoryError, and the
+# interrupt never fired — the timeout must survive the query it guards.
+MEMLIMIT = opts.get("--memlimit")
 
 con = duckdb.connect()
+if MEMLIMIT:
+    con.sql(f"SET memory_limit='{MEMLIMIT}'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     # harness tables are single files; ScaleGen-derived snapshots are
@@ -135,6 +143,7 @@ for name in sorted(os.listdir(OUT_DIR)):
     path = os.path.join(OUT_DIR, name)
     if not os.path.isdir(path):
         continue
+    print(f"... {name}", file=sys.stderr, flush=True)
     spark_df = canon(pd.concat([pd.read_parquet(p) for p in
                      sorted(glob.glob(f"{path}/*.parquet"))], ignore_index=True)
                      if glob.glob(f"{path}/*.parquet") else pd.DataFrame())
