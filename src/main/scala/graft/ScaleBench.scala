@@ -31,7 +31,8 @@ object ScaleBench {
       // at sf1 — the node-count-honest degradation path), the compaction
       // plan, mixed-arity percolation, the defended interval join
       "q154_pagerank_customer", "q152_compaction_binpack",
-      "q151_percolate_multiterm", "q153_rate_limited_attrib")
+      "q151_percolate_multiterm", "q153_rate_limited_attrib",
+      "q155_percolate_negation")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

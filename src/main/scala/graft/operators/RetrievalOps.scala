@@ -319,5 +319,92 @@ object RetrievalOps {
       "registry broadcasts, stream scanned once; streaming form = " +
       "StreamingOps.percolateStream")
 
-  val all: Seq[GraftQuery] = Seq(q130, q142, q150, q151)
+  /** Stored-query registry WITH NEGATION (q155 + streaming): six rules
+    * "contains A AND B AND NOT C" — required terms from ranks qid/qid+6,
+    * forbidden term from rank qid+12 of the same top-18 derivation as
+    * [[storedQueriesMulti]]. Returns (qid, term1, term2, not_term). */
+  def storedQueriesNeg(s: SparkSession, d: String): DataFrame = {
+    val top = docTokens(s, d).groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(18)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("df").desc, col("tok")))
+          .cast("long"))
+    top.filter(col("rn") <= 6)
+      .select(col("rn").as("qid"), col("tok").as("term1"))
+      .join(top.filter(col("rn").between(7, 12))
+        .select((col("rn") - 6).as("qid"), col("tok").as("term2")), Seq("qid"))
+      .join(top.filter(col("rn") >= 13)
+        .select((col("rn") - 12).as("qid"), col("tok").as("not_term")),
+        Seq("qid"))
+  }
+
+  /** q155 — percolation with NEGATION: stored queries of the form
+    * "contains A AND B AND NOT C" — the exclusion clause every real rule
+    * registry carries (spam rules, routing rules: match X unless Y).
+    * The NOT is the percolator-scale ANTI-JOIN: forbidden-term matches
+    * are bounded by the forbidden term's document frequency (never
+    * corpus-cross), subtracted from the conjunctive matches by key —
+    * U1's anti-membership composed into the q150/q151 dataflow. The
+    * document stream is still touched ONCE (both the required and
+    * forbidden probes read the same distinct doc-term projection).
+    * Streaming form: [[graft.streaming.StreamingOps.percolateStream]]
+    * handles a `not_terms` registry column with the same stateless
+    * per-doc check. */
+  val q155 = GraftQuery(
+    "q155_percolate_negation",
+    (s, d) => {
+      val stored = storedQueriesNeg(s, d)
+      val docTok = docTokens(s, d)
+      val req = stored.select(col("qid"), col("term1").as("tok"))
+        .union(stored.select(col("qid"), col("term2").as("tok")))
+      val fired = docTok.join(broadcast(req), Seq("tok"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("hits"))
+        .filter(col("hits") === 2)
+        .join(docTok.join(broadcast(
+            stored.select(col("qid"), col("not_term").as("tok"))), Seq("tok"))
+          .select(col("qid"), col("doc_id")),
+          Seq("qid", "doc_id"), "left_anti")
+      stored.join(
+          fired.groupBy(col("qid")).agg(count(lit(1)).as("n_matching_docs")),
+          Seq("qid"), "left")
+        .select(col("qid"), col("term1"), col("term2"), col("not_term"),
+          coalesce(col("n_matching_docs"), lit(0L)).as("n_matching_docs"))
+        .orderBy(col("qid"))
+    },
+    Some("""WITH dt AS (SELECT DISTINCT doc_id,
+            unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents),
+        top AS (SELECT tok, CAST(row_number() OVER
+                  (ORDER BY count(*) DESC, tok) AS BIGINT) AS rn
+                FROM dt GROUP BY tok
+                ORDER BY count(*) DESC, tok LIMIT 18),
+        stored AS (SELECT a.rn AS qid, a.tok AS term1, b.tok AS term2,
+                     c.tok AS not_term
+                   FROM top a
+                     JOIN top b ON b.rn = a.rn + 6
+                     JOIN top c ON c.rn = a.rn + 12
+                   WHERE a.rn <= 6),
+        req AS (SELECT qid, term1 AS tok FROM stored
+                UNION ALL SELECT qid, term2 FROM stored),
+        conj AS (SELECT r.qid, dt.doc_id
+                 FROM dt JOIN req r ON r.tok = dt.tok
+                 GROUP BY r.qid, dt.doc_id HAVING count(*) = 2),
+        forb AS (SELECT s.qid, dt.doc_id
+                 FROM dt JOIN stored s ON s.not_term = dt.tok),
+        fired AS (SELECT c.qid, c.doc_id FROM conj c
+                  LEFT JOIN forb f
+                    ON f.qid = c.qid AND f.doc_id = c.doc_id
+                  WHERE f.doc_id IS NULL),
+        agg AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_matching_docs
+                FROM fired GROUP BY qid)
+      SELECT s.qid, s.term1, s.term2, s.not_term,
+             coalesce(agg.n_matching_docs, 0) AS n_matching_docs
+      FROM stored s LEFT JOIN agg USING (qid)
+      ORDER BY qid"""),
+    note = "percolation with exclusion: NOT = anti-join bounded by the " +
+      "forbidden term's document frequency; same one-scan stream shape")
+
+  val all: Seq[GraftQuery] = Seq(q130, q142, q150, q151, q155)
 }

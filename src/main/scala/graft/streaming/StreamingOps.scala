@@ -141,19 +141,26 @@ object StreamingOps {
     * `|tokens ∩ terms| == n_required` needs no cross-row state — append
     * mode needs no watermark, restart at any batch boundary is
     * exactly-once for free, and nothing but the document stream scan
-    * grows with volume. Emits one (doc_id, qid) row per fired rule. */
+    * grows with volume. Emits one (doc_id, qid) row per fired rule.
+    * A registry with a `not_terms` array column (q155's negation rules)
+    * additionally requires zero forbidden-term overlap — the same
+    * stateless per-doc check. */
   def percolateStream(docs: DataFrame, stored: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val reg = stored
-      .select(col("qid"), col("n_required"), col("terms"))
-      .withColumn("one", lit(1))
+    val hasNot = stored.columns.contains("not_terms")
+    val regCols = Seq(col("qid"), col("n_required"), col("terms")) ++
+      (if (hasNot) Seq(col("not_terms")) else Nil)
+    val reg = stored.select(regCols: _*).withColumn("one", lit(1))
+    val notClear =
+      if (hasNot) size(array_intersect(col("toks"), col("not_terms"))) === 0
+      else lit(true)
     docs
       .withColumn("toks", array_distinct(
         graft.functions.TextFunctions.tokens(lower(col("text")))))
       .withColumn("one", lit(1))
       .join(broadcast(reg), Seq("one"))
       .filter(size(array_intersect(col("toks"), col("terms"))).cast("long")
-        === col("n_required"))
+        === col("n_required") && notClear)
       .select(col("doc_id"), col("qid"))
   }
 

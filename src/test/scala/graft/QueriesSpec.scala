@@ -1060,6 +1060,29 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q155 negation percolate: counts reconcile with a direct scan, NOT actually excludes") {
+    val rows = QueryRegistry.byName("q155_percolate_negation")
+      .fn(spark, sf).collect()
+    assert(rows.length == 6)
+    val texts = Tables.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0).toLowerCase.split(" ").toSet)
+    var excludedSomething = false
+    rows.foreach { r =>
+      val (t1, t2, nt) = (r.getAs[String]("term1"), r.getAs[String]("term2"),
+        r.getAs[String]("not_term"))
+      assert(Set(t1, t2, nt).size == 3)
+      val direct = texts.count(ts => ts(t1) && ts(t2) && !ts(nt))
+      val conj = texts.count(ts => ts(t1) && ts(t2))
+      assert(r.getAs[Long]("n_matching_docs") == direct,
+        s"qid ${r.getAs[Long]("qid")}: engine " +
+          s"${r.getAs[Long]("n_matching_docs")} vs direct $direct")
+      if (direct < conj) excludedSomething = true
+    }
+    // the top-rank forbidden terms are frequent, so at least one rule
+    // must actually have excluded a conjunctive match
+    assert(excludedSomething, "negation never fired — test data too clean")
+  }
+
   test("q152 compaction: bins equal a sequential next-fit replay, bound holds") {
     val inv = operators.LayoutOps.fileInventory(spark, sf)
       .collect().map(r => (r.getAs[Long]("file_id"), r.getAs[Long]("bytes")))

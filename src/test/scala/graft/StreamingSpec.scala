@@ -563,6 +563,42 @@ class StreamingSpec extends SparkSpec {
     assert(q151.forall { case (qid, n) => counts.getOrElse(qid, 0L) == n })
   }
 
+  test("streaming percolation honors negation rules (q155 registry)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stored = operators.RetrievalOps.storedQueriesNeg(spark, sf)
+      .select(col("qid"), lit(2L).as("n_required"),
+        array(col("term1"), col("term2")).as("terms"),
+        array(col("not_term")).as("not_terms"))
+      .localCheckpoint()
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.toIndexedSeq)
+    val q = graft.streaming.StreamingOps
+      .percolateStream(mem.toDF().toDF("doc_id", "text"), stored)
+      .writeStream.format("memory").queryName("perc_neg")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("perc_neg")
+      .select("doc_id", "qid").as[(Long, Long)].collect().toSet
+    val reg = stored.collect().map(r => (r.getAs[Long]("qid"),
+      r.getAs[Seq[String]]("terms").toSet,
+      r.getAs[Seq[String]]("not_terms").toSet))
+    val want = (for {
+      (id, text) <- docs
+      toks = text.toLowerCase.split(" ").toSet
+      (qid, terms, nots) <- reg
+      if terms.subsetOf(toks) && nots.forall(!toks(_))
+    } yield (id, qid)).toSet
+    assert(want.nonEmpty && got == want)
+    // per-rule totals equal the q155 registry row
+    val q155 = QueryRegistry.byName("q155_percolate_negation")
+      .fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("n_matching_docs")).toMap
+    val counts = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(q155.forall { case (qid, n) => counts.getOrElse(qid, 0L) == n })
+  }
+
   test("defended interval join matches the q153 batch twin on ordered replay") {
     implicit val sqlCtx = spark.sqlContext
     def mic(t: Timestamp): Long =
