@@ -1,0 +1,237 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming small-file compaction — the maintenance job that makes
+  * q152's bin-packing plan OPERATIONAL inside a streaming ingest (the
+  * public Delta/Iceberg "OPTIMIZE as a background job" pattern,
+  * completing VERDICT r7 #6: plan → audit → MATERIALIZED → now run as
+  * part of the pipeline that creates the problem).
+  *
+  * Table layout (manifest-pointer commit, the public Iceberg discipline —
+  * the COMMIT is one atomic rename of a pointer file, never a multi-dir
+  * swap):
+  *
+  * {{{
+  *   tableDir/
+  *     _CURRENT              # "v=<n>;upTo=<batchId>" — THE commit point
+  *     v<n>/bin=<b>/part...  # compacted base: one file per packed bin
+  *     live/batch=<id>/      # one small file per micro-batch since upTo
+  * }}}
+  *
+  * - INGEST: each micro-batch overwrites `live/batch=<id>` (idempotent
+  *   under replay — the foreachBatch id is stable across restarts).
+  * - READ ([[snapshot]]): current base + live batches with id > upTo.
+  *   Stale dirs (consumed live batches, old base versions, orphaned
+  *   staging) are EXCLUDED by the pointer, so cleanup is best-effort.
+  * - COMPACT: when the live count reaches `maxLive`, plan bins over the
+  *   ACTUAL on-disk file sizes (greedy sorted next-fit — the q152
+  *   dataflow, here over a manifest-sized inventory on the driver),
+  *   rewrite base ∪ live as `v<n+1>` in ONE job (paths → bin map
+  *   broadcast against input_file_name, repartition(bin) +
+  *   partitionBy(bin) → exactly one file per bin), then commit by
+  *   writing `_CURRENT` via temp-file + atomic rename.
+  *
+  * Crash safety by construction: before the pointer rename the old
+  * snapshot is intact (a half-written v<n+1> is orphaned and
+  * overwritten on the replayed attempt); after it the new snapshot is
+  * complete and consumed live dirs are ignored. [[compactionFault]]
+  * injects crashes at each step for the test matrix (the
+  * StreamingCuration discipline).
+  */
+object StreamingCompaction {
+
+  /** Test hook: invoked with an op index at each crash point
+    * (0 = after staging write, before pointer commit; 1 = after pointer
+    * commit, before cleanup). Production leaves it a no-op. */
+  @volatile private[graft] var compactionFault: Int => Unit = _ => ()
+
+  private case class TableState(version: Long, upTo: Long)
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def parseState(txt: String): TableState = {
+    val kv = txt.trim.split(";").map(_.split("=", 2))
+      .map(a => a(0) -> a(1)).toMap
+    TableState(kv("v").toLong, kv("upTo").toLong)
+  }
+
+  private def readState(spark: SparkSession, tableDir: String): TableState = {
+    val f = fs(spark)
+    def read(p: Path): Option[TableState] =
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](256)
+          var n = in.read(b)
+          while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+          Some(parseState(new String(buf.toByteArray, "UTF-8")))
+        } finally in.close()
+      }
+    // the durably-written tmp is the commit's write-ahead: if a crash
+    // landed between tmp write and the atomic move, the newer of the
+    // two states wins (tmp.version is always current or current+1)
+    (read(new Path(s"$tableDir/_CURRENT")) ++
+      read(new Path(s"$tableDir/_CURRENT.tmp")))
+      .reduceOption((a, b) => if (a.version >= b.version) a else b)
+      .getOrElse(TableState(0L, -1L))
+  }
+
+  private def commitState(spark: SparkSession, tableDir: String,
+                          st: TableState): Unit = {
+    val f = fs(spark)
+    val tmp = new Path(s"$tableDir/_CURRENT.tmp")
+    val out = f.create(tmp, true)
+    out.write(s"v=${st.version};upTo=${st.upTo}".getBytes("UTF-8"))
+    out.hsync(); out.close()
+    // atomic replace on a local/posix fs; readState's tmp fallback covers
+    // a crash in any window around it (tmp is the write-ahead record)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(tmp.toUri.getPath),
+      java.nio.file.Paths.get(s"$tableDir/_CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def liveBatchDirs(spark: SparkSession, tableDir: String,
+                            after: Long): Seq[(Long, Path)] = {
+    val f = fs(spark)
+    val live = new Path(s"$tableDir/live")
+    if (!f.exists(live)) Nil
+    else f.listStatus(live).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(s => s.getPath.getName.stripPrefix("batch=").toLong -> s.getPath)
+      .filter(_._1 > after)
+      .sortBy(_._1)
+  }
+
+  /** Data files (path, bytes) of the current base + the given live dirs —
+    * the manifest-sized inventory the packing plans over. */
+  private def inventory(spark: SparkSession, tableDir: String,
+                        st: TableState,
+                        live: Seq[(Long, Path)]): Seq[(Path, Long)] = {
+    val f = fs(spark)
+    val roots = (if (st.version > 0) Seq(new Path(s"$tableDir/v${st.version}"))
+                 else Nil) ++ live.map(_._2)
+    roots.flatMap { r =>
+      val it = f.listFiles(r, true)
+      val buf = scala.collection.mutable.ArrayBuffer[(Path, Long)]()
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (s.isFile && !n.startsWith("_") && !n.startsWith("."))
+          buf += (s.getPath -> s.getLen)
+      }
+      buf.toSeq
+    }
+  }
+
+  /** Greedy sorted next-fit over actual byte sizes (q152's packing, on
+    * the driver over the manifest): bytes DESC, path tiebreak;
+    * bin = exclusive running total div target. */
+  private def planBins(files: Seq[(Path, Long)],
+                       target: Long): Map[String, Long] = {
+    var prior = 0L
+    files.sortBy { case (p, b) => (-b, p.toString) }.map { case (p, b) =>
+      val bin = prior / target; prior += b
+      p.toUri.getPath -> bin // keyed by scheme-less path: input_file_name parity
+    }.toMap
+  }
+
+  /** Rewrite base ∪ live(≤ upToNew) into `v<n+1>` and commit. */
+  private[graft] def compact(spark: SparkSession, tableDir: String,
+                             target: Long, upToNew: Long): Unit = {
+    val st = readState(spark, tableDir)
+    val consumed = liveBatchDirs(spark, tableDir, st.upTo)
+      .filter(_._1 <= upToNew)
+    val files = inventory(spark, tableDir, st, consumed)
+    if (files.isEmpty) return
+    val bins = planBins(files, target)
+    import spark.implicits._
+    val binMap = bins.toSeq.toDF("path", "bin")
+    val next = st.version + 1
+    spark.read.parquet(files.map(_._1.toString): _*)
+      .withColumn("path",
+        url_decode(regexp_replace(input_file_name(), "^file:/+", "/")))
+      .join(broadcast(binMap), Seq("path"))
+      .drop("path")
+      .repartition(col("bin"))
+      .write.mode("overwrite").partitionBy("bin")
+      .parquet(s"$tableDir/v$next")
+    compactionFault(0) // crash BEFORE the commit: old snapshot intact
+    commitState(spark, tableDir, TableState(next, upToNew))
+    compactionFault(1) // crash AFTER the commit: cleanup is best-effort
+    sweepStale(spark, tableDir)
+  }
+
+  /** Delete everything the pointer excludes: old version dirs, consumed
+    * live batches. Pure garbage collection — a crash that skips it (or
+    * a prior crash that left debris) is repaired by the NEXT sweep, and
+    * reads never see the stale dirs either way. */
+  private def sweepStale(spark: SparkSession, tableDir: String): Unit = {
+    val st = readState(spark, tableDir)
+    val f = fs(spark)
+    val root = new Path(tableDir)
+    if (f.exists(root)) f.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && n.startsWith("v") &&
+          n.stripPrefix("v").forall(_.isDigit) &&
+          n.stripPrefix("v").toLong != st.version)
+        f.delete(s.getPath, true)
+    }
+    val live = new Path(s"$tableDir/live")
+    if (f.exists(live)) f.listStatus(live).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && n.startsWith("batch=") &&
+          n.stripPrefix("batch=").toLong <= st.upTo)
+        f.delete(s.getPath, true)
+    }
+  }
+
+  /** One micro-batch of the ingest+maintain loop (exposed for replay
+    * tests): idempotent append, then compaction when the live tail
+    * reaches `maxLive` batches. */
+  def processBatch(tableDir: String, target: Long, maxLive: Int)
+                  (df: DataFrame, id: Long): Unit = {
+    val spark = df.sparkSession
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(s"$tableDir/live/batch=$id")
+    val st = readState(spark, tableDir)
+    if (liveBatchDirs(spark, tableDir, st.upTo).count(_._1 <= id) >= maxLive)
+      compact(spark, tableDir, target, id)
+  }
+
+  /** The committed table view: compacted base + unconsumed live tail.
+    * Everything else on disk (orphaned staging, consumed batches, old
+    * versions) is invisible — that is what the pointer buys. */
+  def snapshot(spark: SparkSession, tableDir: String): DataFrame = {
+    val st = readState(spark, tableDir)
+    val roots =
+      (if (st.version > 0) Seq(s"$tableDir/v${st.version}") else Nil) ++
+        liveBatchDirs(spark, tableDir, st.upTo).map(_._2.toString)
+    if (roots.isEmpty)
+      throw new IllegalStateException(s"empty table at $tableDir")
+    // base carries the bin partition column; live batches do not
+    roots.map(r => spark.read.parquet(r).drop("bin"))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Streaming entry: ingest `rows` with one small file per micro-batch,
+    * compacting every `maxLive` batches. availableNow semantics like
+    * StreamingCuration.start. */
+  def start(rows: DataFrame, tableDir: String, checkpointDir: String,
+            target: Long = 1L << 20, maxLive: Int = 4): StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((df: DataFrame, id: Long) =>
+        processBatch(tableDir, target, maxLive)(df, id))
+      .start()
+}

@@ -489,6 +489,74 @@ class StreamingSpec extends SparkSpec {
     assert(admitted == Set(1L, 3L), s"got $admitted")
   }
 
+  test("streaming compaction: small files collapse to packed bins, crash-safe pointer commit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCompaction
+    def rows(i: Int): Seq[(Long, String)] =
+      (i * 10 until i * 10 + 10).map(k => (k.toLong, s"payload_$k" * 40))
+    def runScenario(crashAt: Option[Int]): (Set[Long], String) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_scompact").toString
+      val table = s"$dir/table"
+      val mem = MemoryStream[(Long, String)]
+      def go(): Unit = {
+        val q = StreamingCompaction.start(mem.toDF().toDF("id", "payload"),
+          table, s"$dir/ckpt", target = 8192, maxLive = 3)
+        q.awaitTermination()
+      }
+      // batches 0-2 ingest small files; batch 2 trips maxLive=3 -> compact
+      mem.addData(rows(0)); go()
+      mem.addData(rows(1)); go()
+      var fired = false
+      StreamingCompaction.compactionFault = i =>
+        if (crashAt.contains(i)) {
+          fired = true; throw new RuntimeException(s"injected crash at op $i")
+        }
+      mem.addData(rows(2))
+      try go() catch { case _: Exception => () } finally {
+        StreamingCompaction.compactionFault = _ => ()
+      }
+      if (crashAt.isDefined) {
+        assert(fired, "crash point never reached — op map changed")
+        go() // replay batch 2 from the checkpoint
+      }
+      // batches 3-5: second compaction cycle (also sweeps any debris)
+      mem.addData(rows(3)); go()
+      mem.addData(rows(4)); go()
+      mem.addData(rows(5)); go()
+      val ids = StreamingCompaction.snapshot(spark, table)
+        .select("id").as[Long].collect()
+      assert(ids.length == ids.distinct.length, "compaction duplicated rows")
+      (ids.toSet, table)
+    }
+    val (clean, cleanTable) = runScenario(None)
+    assert(clean == (0L until 60L).toSet, "clean run lost rows")
+    // physical layout after the second compaction: exactly one data file
+    // per bin dir, live holds nothing (batch 5 was consumed), and every
+    // bin's ACTUAL byte total respects the packing bound
+    val base = new java.io.File(s"$cleanTable/v2")
+    assert(base.isDirectory, "expected base version v2")
+    val binDirs = base.listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("bin="))
+    assert(binDirs.nonEmpty)
+    val sizes = binDirs.map { b =>
+      val fs = b.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(fs.length == 1, s"${b.getName}: ${fs.length} files")
+      fs.head.length()
+    }
+    assert(sizes.sum > 0 && sizes.forall(_ < 8192 + sizes.max))
+    assert(!new java.io.File(s"$cleanTable/live").exists() ||
+      new java.io.File(s"$cleanTable/live").listFiles().isEmpty)
+    // crash before the pointer commit and after it: both replay to the
+    // clean result, and the second compaction sweeps all debris
+    for (k <- 0 to 1) {
+      val (got, table) = runScenario(Some(k))
+      assert(got == clean, s"crash at op $k diverged")
+      val vdirs = new java.io.File(table).listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("v")).toSet
+      assert(vdirs.size == 1, s"crash at op $k left stale versions: $vdirs")
+    }
+  }
+
   test("checkpoint-resume: restarted query does not recount processed data") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
