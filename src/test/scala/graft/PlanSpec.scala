@@ -343,4 +343,17 @@ class PlanSpec extends SparkSpec {
     assert(!pass.contains("NestedLoop") && !pass.contains("CartesianProduct"),
       s"PassJoin degenerated to pair scanning:\n$pass")
   }
+
+  test("full registry: no CartesianProduct in any query's initial physical plan") {
+    // The r7 §17 one-off audit made durable: every BroadcastNestedLoopJoin
+    // in the suite is a deliberate ONE-ROW cross (a query vector, a stats
+    // row) — a CartesianProduct node anywhere means a join lost its keys
+    // and would cross fact-sized inputs at scale. Building all plans also
+    // smoke-tests that every registry query still constructs.
+    val offenders = QueryRegistry.queries.flatMap { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
 }
