@@ -489,6 +489,56 @@ class StreamingSpec extends SparkSpec {
     assert(admitted == Set(1L, 3L), s"got $admitted")
   }
 
+  test("streaming vector search answers each batch identically to the indexed point probe") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingVectorSearch
+    val dir = java.nio.file.Files.createTempDirectory("graft_svsearch").toString
+    val idx = s"$dir/index"
+    graft.operators.IndexedVectorStore.build(
+      spark, Tables.t(spark, sf, "embeddings"), idx)
+    // query stream = six of the store's own vectors, so every streamed
+    // answer has an exact reference: IndexedVectorStore.search on the
+    // same id probes the same cells with the same scoring
+    val qids = Seq(0L, 7L, 42L, 111L, 256L, 499L)
+    val qvecs = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val mem = MemoryStream[(Long, Array[Float])]
+    def go(): Unit = {
+      val q = StreamingVectorSearch.start(
+        mem.toDF().toDF("qid", "embedding"), idx, s"$dir/out", s"$dir/ckpt",
+        k = 10)
+      q.awaitTermination()
+    }
+    val (a, b) = qvecs.splitAt(3)
+    mem.addData(a.toIndexedSeq); go() // restart at the batch boundary
+    mem.addData(b.toIndexedSeq); go()
+    val got = spark.read.parquet(s"$dir/out/batch=*")
+      .select("qid", "rank", "vec_id", "label")
+      .collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(r => (r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[String]("label"))).sortBy(_._1).toSeq)
+      .toMap
+    assert(got.keySet == qids.toSet)
+    qids.foreach { q =>
+      val want = graft.operators.IndexedVectorStore.search(spark, idx, q, 10)
+        .collect().map(r => (r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"), r.getAs[String]("label"))).toSeq
+      assert(got(q) == want, s"qid $q: stream=${got(q)} point=$want")
+      // the query's own vector is in the store: it must rank first
+      assert(got(q).head._2 == q)
+    }
+    // the probe scan must partition-prune on the store's cell dirs
+    val batch = qvecs.take(3).toSeq.toDF("qid", "embedding")
+    val plan = StreamingVectorSearch.answerBatch(spark, idx, batch, 10)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"probe scan not partition-pruned:\n$plan")
+  }
+
   test("streaming compaction: small files collapse to packed bins, crash-safe pointer commit") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingCompaction
