@@ -258,7 +258,12 @@ object Bench {
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val qs = qmap(results)
-    val total = results.map(_._2).sum
+    // headline total over SUCCEEDED queries only: summing the -1.0
+    // failure sentinels made every crashed query read as a 1 s SPEEDUP
+    // (and disagreed with adjusted_total, which already filtered them);
+    // failures are surfaced as their own count instead.
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
     // Calibration block: every probe sample (cpu/alloc pairs bracketing
     // each pass), the nominals+gate the pass verdicts were judged by, the
     // run's own best samples (the self-relative reference), and the
@@ -323,10 +328,10 @@ object Bench {
     // total to a single contended pass instead of guessing (r3's per-query
     // driver detail was lost; r4's couldn't separate pass-level noise).
     val fileLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},$calib,$quietBlock,"queries":$qs,"passes":[${allPasses.map(p => qmap(p._1)).mkString(",")}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},"failed":$nFailed,$calib,$quietBlock,"queries":$qs,"passes":[${allPasses.map(p => qmap(p._1)).mkString(",")}],"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fileLine + "\n")
     val stdoutLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},$calib,$quietBlock,"n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},"failed":$nFailed,$calib,$quietBlock,"n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
     spark.stop()
     // sole final stdout line (after spark.stop so no shutdown noise follows)
     println(stdoutLine)

@@ -83,8 +83,14 @@ object GraphOps {
     * (`node`,`r`) with r in micro-units. `small` gates the per-superstep
     * broadcast of the node-sized tables (ranks, out-degrees, dst sums) —
     * pass the measured node count's verdict, never a hard-pinned hint. */
+  /** Out-degrees (`src`, `od`) of an edge list — built ONCE per query
+    * and threaded into [[pageRankRanks]] (q131 also joins it into its
+    * output; passing it avoids a second identical aggregation). */
+  private def outDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src")).agg(count(lit(1)).cast("long").as("od"))
+
   private def pageRankRanks(nodes: DataFrame, edges: DataFrame,
-                            iters: Int, small: Boolean,
+                            outdeg: DataFrame, iters: Int, small: Boolean,
                             mass: Long = 1000000L): DataFrame = {
     // total rank mass in integer units; sized to the graph so per-node
     // ranks keep resolution (1e6 for the 25-node nation graph, 1e12 for
@@ -92,8 +98,6 @@ object GraphOps {
     // Overflow headroom: every intermediate is <= 17 * mass < 2^63 / 5e5.
     val tele = mass * 3 / 20 // the 0.15 teleport share, exact (mass % 20 == 0)
     val bc = bcIf(small) _
-    val outdeg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).cast("long").as("od"))
     val st = nodes.agg(count(lit(1)).cast("long").as("nn"))
     var ranks = nodes.crossJoin(broadcast(st))
       .select(col("node"), expr(s"$mass div nn").as("r"))
@@ -118,9 +122,8 @@ object GraphOps {
       val nodes = t(s, d, "nation").select(col("n_nationkey").as("node"))
       val small = t(s, d, "nation").count() <= BroadcastRowLimit
       val bc = bcIf(small) _
-      val outdeg = edges.groupBy(col("src"))
-        .agg(count(lit(1)).cast("long").as("od"))
-      pageRankRanks(nodes, edges, Iters, small)
+      val outdeg = outDegrees(edges)
+      pageRankRanks(nodes, edges, outdeg, Iters, small)
         .join(t(s, d, "nation"), col("node") === col("n_nationkey"))
         .join(bc(outdeg.withColumnRenamed("src", "node")), Seq("node"), "left")
         .select(col("node").as("nation_key"), col("n_name"),
@@ -324,8 +327,8 @@ object GraphOps {
 
   /** q154 — PageRank at CUSTOMER granularity: the identical integer
     * PageRank kernel as q131 run over the customer↔supplier co-trading
-    * graph (~165k nodes at sf1, node ids: customers raw, suppliers
-    * offset by 10⁹), where the node count CROSSES BroadcastRowLimit at
+    * graph (~165k nodes at sf1, node ids: customers raw, suppliers in
+    * the negative range), where the node count CROSSES BroadcastRowLimit at
     * sf1 — so ScaleBench's big side exercises the SHUFFLE-KEYED
     * superstep while the small sfs keep the broadcast plan, and both
     * produce bit-identical ranks (the conditional hint changes the
@@ -341,28 +344,32 @@ object GraphOps {
         .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
         .distinct()
         .localCheckpoint()
+      // supplier node ids live in the NEGATIVE range (-suppkey-1):
+      // collision-free against the non-negative customer keys at ANY
+      // scale factor — a fixed additive offset (1e9) would silently
+      // merge distinct nodes once c_custkey crossed it (~sf6,700)
       val edges = lanes
-        .select(col("c").as("src"), (col("p") + 1000000000L).as("dst"))
+        .select(col("c").as("src"), (-col("p") - 1L).as("dst"))
         .union(lanes
-          .select((col("p") + 1000000000L).as("src"), col("c").as("dst")))
+          .select((-col("p") - 1L).as("src"), col("c").as("dst")))
       val nodes = t(s, d, "customer").select(col("c_custkey").as("node"))
         .union(t(s, d, "supplier")
-          .select((col("s_suppkey") + 1000000000L).as("node")))
+          .select((-col("s_suppkey") - 1L).as("node")))
       val nNodes = t(s, d, "customer").count() + t(s, d, "supplier").count()
       // mass 1e12: at 165k nodes the per-node share stays ~6e6 units —
       // the q131 micro-unit mass would collapse to single digits here
-      pageRankRanks(nodes, edges, 2, nNodes <= BroadcastRowLimit,
-          mass = 1000000000000L)
+      pageRankRanks(nodes, edges, outDegrees(edges), 2,
+          nNodes <= BroadcastRowLimit, mass = 1000000000000L)
         .select(col("node"), col("r").as("pr_units"))
         .orderBy(col("pr_units").desc, col("node")).limit(100)
     },
     Some("""WITH lanes AS (
         SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS p
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-      edges AS (SELECT c AS src, p + 1000000000 AS dst FROM lanes
-                UNION ALL SELECT p + 1000000000 AS src, c AS dst FROM lanes),
+      edges AS (SELECT c AS src, -p - 1 AS dst FROM lanes
+                UNION ALL SELECT -p - 1 AS src, c AS dst FROM lanes),
       nodes AS (SELECT c_custkey AS node FROM customer
-                UNION ALL SELECT s_suppkey + 1000000000 FROM supplier),
+                UNION ALL SELECT -s_suppkey - 1 FROM supplier),
       outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od
                  FROM edges GROUP BY src),
       st AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),

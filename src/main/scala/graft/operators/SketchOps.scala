@@ -51,11 +51,14 @@ object SketchOps {
     // (lang) cells. The roll-up cell is identified by grouping(), NOT by
     // lang IS NULL (ADVICE r7: a source group whose lang is literally
     // NULL must stay distinguishable from the grand total).
+    // a literal-NULL source lang keeps its own cell, labeled "__null__"
+    // (null-free output + total string order on BOTH engines — a raw
+    // NULL cell would sort nulls-first in Spark, nulls-last in DuckDB)
     toks.cube(col("lang"))
       .agg(approx_count_distinct(col("tok"), 0.02).as("approx_tokens"),
         grouping(col("lang")).as("g"))
       .select(when(col("g") === 1, lit("__all__"))
-          .otherwise(col("lang")).as("lang"),
+          .otherwise(coalesce(col("lang"), lit("__null__"))).as("lang"),
         col("approx_tokens"))
       .orderBy(col("lang"))
   }
@@ -96,8 +99,12 @@ object SketchOps {
         .agg(approx_count_distinct(col("tok"), 0.02).as("approx"),
           countDistinct(col("tok")).as("exact_tokens"),
           grouping(col("lang")).as("g"))
+        // literal-NULL lang labeled "__null__": null-free output with a
+        // total string order on both engines (raw NULL sorts first in
+        // Spark, last in DuckDB — the row-order-sensitive compare would
+        // diverge exactly in the case the grouping() fix handles)
         .select(when(col("g") === 1, lit("__all__"))
-            .otherwise(col("lang")).as("lang"),
+            .otherwise(coalesce(col("lang"), lit("__null__"))).as("lang"),
           col("exact_tokens"),
           (abs(col("approx") - col("exact_tokens")).cast("double") <=
             col("exact_tokens").cast("double") * 0.06).as("within_3sigma"))
@@ -105,8 +112,9 @@ object SketchOps {
     },
     Some("""WITH toks AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
                           FROM documents),
-            g AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_tokens
-                  FROM toks GROUP BY lang
+            g AS (SELECT coalesce(lang, '__null__') AS lang,
+                         CAST(count(DISTINCT tok) AS BIGINT) AS exact_tokens
+                  FROM toks GROUP BY 1
                   UNION ALL
                   SELECT '__all__' AS lang, CAST(count(DISTINCT tok) AS BIGINT)
                   FROM toks)

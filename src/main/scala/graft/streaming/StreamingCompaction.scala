@@ -62,18 +62,21 @@ object StreamingCompaction {
 
   private def readState(spark: SparkSession, tableDir: String): TableState = {
     val f = fs(spark)
-    def read(p: Path): Option[TableState] =
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val b = new Array[Byte](256)
-          var n = in.read(b)
-          while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
-          Some(parseState(new String(buf.toByteArray, "UTF-8")))
-        } finally in.close()
-      }
+    // a crash between create and the completed write leaves a torn tmp —
+    // unparseable content OR an unreadable file (checksum sidecar
+    // mismatch) must read as ABSENT, not brick every subsequent
+    // readState (the _CURRENT itself is only ever replaced atomically,
+    // so a torn main pointer cannot occur)
+    def read(p: Path): Option[TableState] = scala.util.Try {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](256)
+        var n = in.read(b)
+        while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+        parseState(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    }.toOption
     // the durably-written tmp is the commit's write-ahead: if a crash
     // landed between tmp write and the atomic move, the newer of the
     // two states wins (tmp.version is always current or current+1)
@@ -134,14 +137,14 @@ object StreamingCompaction {
 
   /** Greedy sorted next-fit over actual byte sizes (q152's packing, on
     * the driver over the manifest): bytes DESC, path tiebreak;
-    * bin = exclusive running total div target. */
+    * bin = exclusive running total div target. Returns bin → its files. */
   private def planBins(files: Seq[(Path, Long)],
-                       target: Long): Map[String, Long] = {
+                       target: Long): Map[Long, Seq[Path]] = {
     var prior = 0L
     files.sortBy { case (p, b) => (-b, p.toString) }.map { case (p, b) =>
       val bin = prior / target; prior += b
-      p.toUri.getPath -> bin // keyed by scheme-less path: input_file_name parity
-    }.toMap
+      bin -> p
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
   }
 
   /** Rewrite base ∪ live(≤ upToNew) into `v<n+1>` and commit. */
@@ -153,14 +156,19 @@ object StreamingCompaction {
     val files = inventory(spark, tableDir, st, consumed)
     if (files.isEmpty) return
     val bins = planBins(files, target)
-    import spark.implicits._
-    val binMap = bins.toSeq.toDF("path", "bin")
     val next = st.version + 1
-    spark.read.parquet(files.map(_._1.toString): _*)
-      .withColumn("path",
-        url_decode(regexp_replace(input_file_name(), "^file:/+", "/")))
-      .join(broadcast(binMap), Seq("path"))
-      .drop("path")
+    // bin membership by CONSTRUCTION, not by path-string matching: each
+    // bin's file group is its own sub-scan stamped with a literal bin id
+    // (a join on input_file_name is a string-parity trap — URI encoding
+    // differs between the driver's Path and the executor's file name).
+    // Plan width is O(bins) scans — manifest-bounded, and each sub-scan
+    // opens only its own files.
+    bins.toSeq.sortBy(_._1)
+      .map { case (bin, paths) =>
+        spark.read.parquet(paths.map(_.toString): _*)
+          .withColumn("bin", lit(bin))
+      }
+      .reduce(_.unionByName(_))
       .repartition(col("bin"))
       .write.mode("overwrite").partitionBy("bin")
       .parquet(s"$tableDir/v$next")

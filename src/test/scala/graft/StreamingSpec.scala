@@ -607,6 +607,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming compaction: a torn _CURRENT.tmp reads as absent, table stays serviceable") {
+    // crash window inside commitState itself: tmp created but the write
+    // never completed — the partial file must be IGNORED (not parsed),
+    // or every subsequent read/ingest on the table throws forever
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCompaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_torn").toString
+    val table = s"$dir/table"
+    def batch(i: Int) = (i * 10 until i * 10 + 10)
+      .map(k => (k.toLong, s"p_$k" * 30)).toDF("id", "payload")
+    (0 to 2).foreach(i => // batch 2 trips maxLive=3 -> compaction -> v1
+      StreamingCompaction.processBatch(table, 8192, 3)(batch(i), i.toLong))
+    assert(new java.io.File(s"$table/v1").isDirectory)
+    for (torn <- Seq("", "v=", "v=2;upT")) {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$table/_CURRENT.tmp"), torn.getBytes)
+      val ids = StreamingCompaction.snapshot(spark, table)
+        .select("id").as[Long].collect().toSet
+      assert(ids == (0L until 30L).toSet, s"torn tmp '$torn' broke reads")
+    }
+    // and the table still ingests + compacts past the debris
+    (3 to 5).foreach(i =>
+      StreamingCompaction.processBatch(table, 8192, 3)(batch(i), i.toLong))
+    assert(StreamingCompaction.snapshot(spark, table)
+      .select("id").as[Long].collect().toSet == (0L until 60L).toSet)
+  }
+
   test("checkpoint-resume: restarted query does not recount processed data") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString

@@ -62,8 +62,9 @@ TOLERANCE = {
         "sql": """
             WITH toks AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
                           FROM documents)
-            SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS approx_tokens
-            FROM toks GROUP BY lang
+            SELECT coalesce(lang, '__null__') AS lang,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS approx_tokens
+            FROM toks GROUP BY 1
             UNION ALL
             SELECT '__all__' AS lang, CAST(count(DISTINCT tok) AS BIGINT)
             FROM toks ORDER BY lang""",
