@@ -121,13 +121,28 @@ object CurationOps {
       val cust = t(s, d, "customer")
         .select(col("c_nationkey").cast("long").as("block"),
           col("c_custkey").as("key"), col("c_name").as("name"))
+      // localCheckpoint: the PassJoin pair generation (the expensive
+      // rung) is paid ONCE and feeds both the union-find and the
+      // edge-consistency contract below
       val edges = EditDistanceJoin
         .selfJoinK1(cust, "key", "name", blockCols = Seq("block"))
         .select(col("block"), col("a_key").as("src"), col("b_key").as("dst"))
-      blockedComponents(cust.select(col("block"), col("key")), edges)
+        .localCheckpoint()
+      val comps = blockedComponents(cust.select(col("block"), col("key")), edges)
+        .localCheckpoint()
+      // labeling contract (VERDICT r8 #1): no edge crosses components +
+      // every label is its component's min key — verified from the
+      // engine's own output via InvariantChecks, oracle pins both TRUE,
+      // so the clustering stays affirmatively checked past the scale
+      // where the WITH RECURSIVE twin DNFs
+      val chk = InvariantChecks.componentChecks(
+        edges.select(col("src"), col("dst")), comps)
+      comps
         .withColumn("csize",
           count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long"))
-        .select(col("key"), col("comp").as("component"), col("csize"))
+        .crossJoin(broadcast(chk))
+        .select(col("key"), col("comp").as("component"), col("csize"),
+          col("inv_edges_ok"), col("inv_canonical_ok"))
         .orderBy(col("key"))
     },
     Some("""WITH RECURSIVE
@@ -143,7 +158,8 @@ object CurationOps {
         SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src),
       comps AS (SELECT a AS key, min(b) AS component FROM r GROUP BY a)
       SELECT key, component,
-             CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
+             CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize,
+             TRUE AS inv_edges_ok, TRUE AS inv_canonical_ok
       FROM comps ORDER BY key"""))
 
   /** q82 — deterministic stratified sampling + train/val/test split:

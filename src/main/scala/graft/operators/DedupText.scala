@@ -363,17 +363,36 @@ object DedupText {
           array_sort(shingles(tokens(col("text")))).as("sg"))
       val a = base.select(col("source"), col("doc_id").as("a_id"), col("sg").as("sga"))
       val b = base.select(col("source"), col("doc_id").as("b_id"), col("sg").as("sgb"))
+      // sampled independent-formulation contract (VERDICT r8 #1): for a
+      // deterministic ~1/997 of pairs, recompute the score through the
+      // BUILTIN set-op formulation (array_intersect/array_union hash
+      // sets — a completely different code path from the SortedJaccard
+      // linear merge) and carry agreement as a per-row boolean. The
+      // oracle pins it TRUE at sf0.01; past the oracle's reach the
+      // checker verifies the column affirmatively, so the custom kernel
+      // stays cross-checked at every scale the engine runs. Degenerate
+      // pairs (both shingle sets empty → 0/0) are excluded from the
+      // sample: the mirror division is NaN there by construction.
       a.join(b, Seq("source"))
         .filter(col("a_id") < col("b_id"))
-        .select(col("source"), col("a_id"), col("b_id"),
-          round(sorted_jaccard(col("sga"), col("sgb")), 6).as("jaccard"))
+        .withColumn("jaccard", round(sorted_jaccard(col("sga"), col("sgb")), 6))
+        .withColumn("jacc_xck",
+          when(pmod(hash(col("a_id"), col("b_id")), lit(997)) === 0 &&
+              size(col("sga")) + size(col("sgb")) > 0,
+            col("jaccard") ===
+              round(size(array_intersect(col("sga"), col("sgb"))).cast("double") /
+                size(array_union(col("sga"), col("sgb"))), 6))
+            .otherwise(lit(true)))
+        .select(col("source"), col("a_id"), col("b_id"), col("jaccard"),
+          col("jacc_xck"))
         .orderBy(col("source"), col("a_id"), col("b_id"))
     },
     Some(s"""WITH $shSqlCte,
       ds AS (SELECT s.doc_id, d.source, s.sg FROM sh s JOIN documents d ON s.doc_id = d.doc_id)
       SELECT a.source, a.doc_id AS a_id, b.doc_id AS b_id,
         round(CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
+              / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard,
+        TRUE AS jacc_xck
       FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id
       ORDER BY a.source, a_id, b_id"""))
 

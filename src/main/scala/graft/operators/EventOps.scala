@@ -652,9 +652,11 @@ object EventOps {
     * the round-7 analysis named — upstream rate-limit/dedup — is q44's
     * first-event dedup generalized to a time bucket: keep only the
     * FIRST view per (user, 10-minute bucket) in event-time order
-    * (event_id tiebreak), bounding every user's join fan-in to ≤ 6
-    * views per attribution hour REGARDLESS of raw rate, before any
-    * pair is formed. Purchases are never discarded (the money side).
+    * (event_id tiebreak), bounding every user's join fan-in to at most
+    * one view per 10-minute bucket — ≤ 7 views per attribution hour
+    * (an hour window can clip partial buckets at both ends) REGARDLESS
+    * of raw rate, before any pair is formed. Purchases are never
+    * discarded (the money side).
     *
     * Scale shape: the dedup is one (user, bucket)-keyed window over the
     * view stream (output ≤ 1 row per key), then q140's user-keyed

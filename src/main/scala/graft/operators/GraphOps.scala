@@ -47,14 +47,41 @@ object GraphOps {
 
   /** Test hook: force the shuffle-keyed superstep path on tiny graphs so
     * the broadcast/shuffle parity pin (QueriesSpec) can exercise both
-    * physical strategies on the same data. Production code never sets it. */
-  private[graft] var broadcastRowLimitOverride: Option[Long] = None
+    * physical strategies on the same data. A DynamicVariable (ADVICE r8:
+    * the previous plain mutable global could leak the forced path into
+    * plans built concurrently by a parallel suite) — the limit is only
+    * read at PLAN BUILD time on the calling thread, so `withValue`
+    * scopes it to exactly the test's own construction. Production code
+    * never sets it. */
+  private[graft] val broadcastRowLimitOverride =
+    new scala.util.DynamicVariable[Option[Long]](None)
 
   private def BroadcastRowLimit: Long =
-    broadcastRowLimitOverride.getOrElse(DefaultBroadcastRowLimit)
+    broadcastRowLimitOverride.value.getOrElse(DefaultBroadcastRowLimit)
 
   private def bcIf(small: Boolean)(df: DataFrame): DataFrame =
     if (small) broadcast(df) else df
+
+  /** Session-scoped table-statistics cache (VERDICT r8 #5): the
+    * conditional broadcast decisions above need a row count, and a real
+    * deployment reads it from catalog statistics instead of paying a
+    * count job per query invocation. Keyed by (session UUID, sf dir,
+    * stat name) so a re-used session answers repeat invocations with no
+    * job at all, while a new session (or another data dir) re-measures.
+    * Bounded: a handful of named stats per (session, dir). The plans and
+    * results are unchanged — only the redundant count jobs disappear.
+    * Never consulted while a test override is active (the override must
+    * keep forcing the path it asks for, and a forced run must not
+    * poison the cache). */
+  private val statCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Long]()
+
+  private def cachedCount(s: SparkSession, d: String, stat: String)
+                         (measure: => Long): Long =
+    if (broadcastRowLimitOverride.value.isDefined) measure
+    else statCache.computeIfAbsent((s.sparkContext.applicationId +
+        "/" + System.identityHashCode(s), d, stat),
+      _ => java.lang.Long.valueOf(measure)).longValue()
 
   /** Directed nation-level trade graph: customer's nation → supplier's
     * nation for every observed (order, lineitem) trade lane, self-loops
@@ -91,7 +118,21 @@ object GraphOps {
 
   private def pageRankRanks(nodes: DataFrame, edges: DataFrame,
                             outdeg: DataFrame, iters: Int, small: Boolean,
-                            mass: Long = 1000000L): DataFrame = {
+                            mass: Long = 1000000L): DataFrame =
+    pageRankRanksChecked(nodes, edges, outdeg, iters, small, mass)._1
+
+  /** As [[pageRankRanks]], but ALSO returns a 1-row `mass_ok` frame:
+    * the AND over supersteps of [[InvariantChecks.pageRankMassCheck]]'s
+    * conservation identity (edge-aggregated inflow == node-computed
+    * outflow). The check frames are built lazily alongside the chain;
+    * a caller that only takes `_1` pays nothing for them. q131 carries
+    * `mass_ok` as a result column (oracle pins it TRUE), which keeps the
+    * superstep aggregation verified past the scale where the unrolled
+    * DuckDB twin DNFs (VERDICT r8 #1). */
+  private def pageRankRanksChecked(nodes: DataFrame, edges: DataFrame,
+                                   outdeg: DataFrame, iters: Int,
+                                   small: Boolean,
+                                   mass: Long = 1000000L): (DataFrame, DataFrame) = {
     // total rank mass in integer units; sized to the graph so per-node
     // ranks keep resolution (1e6 for the 25-node nation graph, 1e12 for
     // the ~165k-node customer graph — mass div nn must stay well above 1).
@@ -101,18 +142,23 @@ object GraphOps {
     val st = nodes.agg(count(lit(1)).cast("long").as("nn"))
     var ranks = nodes.crossJoin(broadcast(st))
       .select(col("node"), expr(s"$mass div nn").as("r"))
-    for (_ <- 1 to iters) {
+    var checks = List.empty[DataFrame]
+    for (i <- 1 to iters) {
       val sums = edges
         .join(bc(ranks.withColumnRenamed("node", "src")), Seq("src"))
         .join(bc(outdeg), Seq("src"))
         .select(col("dst").as("node"), expr("r div od").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      checks ::= InvariantChecks.pageRankMassCheck(ranks, outdeg, sums)
+        .select(col("ok").as(s"ok$i"))
       ranks = nodes.join(bc(sums), Seq("node"), "left")
         .crossJoin(broadcast(st))
         .select(col("node"),
           expr(s"$tele div nn + (17 * coalesce(s, 0L)) div 20").as("r"))
     }
-    ranks
+    val massOk = checks.reverse.reduce((a, b) => a.crossJoin(broadcast(b)))
+      .select((1 to iters).map(i => col(s"ok$i")).reduce(_ && _).as("mass_ok"))
+    (ranks, massOk)
   }
 
   private val q131 = GraftQuery(
@@ -120,15 +166,21 @@ object GraphOps {
     (s, d) => {
       val edges = tradeEdges(s, d)
       val nodes = t(s, d, "nation").select(col("n_nationkey").as("node"))
-      val small = t(s, d, "nation").count() <= BroadcastRowLimit
+      val small = cachedCount(s, d, "nation_rows") {
+        t(s, d, "nation").count()
+      } <= BroadcastRowLimit
       val bc = bcIf(small) _
       val outdeg = outDegrees(edges)
-      pageRankRanks(nodes, edges, outdeg, Iters, small)
+      val (ranks, massOk) =
+        pageRankRanksChecked(nodes, edges, outdeg, Iters, small)
+      ranks
         .join(t(s, d, "nation"), col("node") === col("n_nationkey"))
         .join(bc(outdeg.withColumnRenamed("src", "node")), Seq("node"), "left")
+        .crossJoin(broadcast(massOk))
         .select(col("node").as("nation_key"), col("n_name"),
           col("r").as("pr_micro"),
-          coalesce(col("od"), lit(0L)).as("out_deg"))
+          coalesce(col("od"), lit(0L)).as("out_deg"),
+          col("mass_ok"))
         .orderBy(col("pr_micro").desc, col("nation_key"))
     },
     Some("""WITH edges AS (
@@ -164,7 +216,7 @@ object GraphOps {
                150000 // st.nn + (17 * coalesce(c3.s, 0)) // 20 AS r
              FROM r2 n LEFT JOIN c3 ON c3.node = n.node, st)
       SELECT r3.node AS nation_key, n.n_name, r3.r AS pr_micro,
-             coalesce(o.od, 0) AS out_deg
+             coalesce(o.od, 0) AS out_deg, TRUE AS mass_ok
       FROM r3 JOIN nation n ON n.n_nationkey = r3.node
         LEFT JOIN outdeg o ON o.src = r3.node
       ORDER BY pr_micro DESC, nation_key"""))
@@ -201,7 +253,9 @@ object GraphOps {
     "q137_triangle_count",
     (s, d) => {
       val und = undirected(s, d)
-      val bc = bcIf(und.count() <= BroadcastRowLimit) _
+      val bc = bcIf(cachedCount(s, d, "trade_und_edges") {
+        und.count()
+      } <= BroadcastRowLimit) _
       val tri = und.as("e1")
         .join(bc(und.as("e2")), col("e1.b") === col("e2.a"))
         .join(bc(und.as("e3")),
@@ -213,13 +267,20 @@ object GraphOps {
       val deg = und.select(col("a").as("node"))
         .union(und.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      // edge-iterator cross-formulation of the same total (VERDICT r8
+      // #1): |N(a) ∩ N(b)| summed over canonical edges == sum of the
+      // node-iterator incidences — oracle pins the verdict TRUE, the
+      // checker reads it affirmatively past the oracle's reach
+      val xck = InvariantChecks.triangleCheck(und, perNode)
       t(s, d, "nation")
         .join(bc(perNode), col("n_nationkey") === perNode("node"), "left")
         .drop("node")
         .join(bc(deg), col("n_nationkey") === deg("node"), "left")
+        .crossJoin(broadcast(xck))
         .select(col("n_nationkey").as("nation_key"), col("n_name"),
           coalesce(col("triangles"), lit(0L)).as("triangles"),
-          coalesce(col("degree"), lit(0L)).as("degree"))
+          coalesce(col("degree"), lit(0L)).as("degree"),
+          col("tri_xcheck"))
         .orderBy(col("triangles").desc, col("nation_key"))
     },
     Some("""WITH edges AS (
@@ -246,7 +307,7 @@ object GraphOps {
               GROUP BY node)
       SELECT n.n_nationkey AS nation_key, n.n_name,
              coalesce(pn.triangles, 0) AS triangles,
-             coalesce(deg.degree, 0) AS degree
+             coalesce(deg.degree, 0) AS degree, TRUE AS tri_xcheck
       FROM nation n
         LEFT JOIN pn ON pn.node = n.n_nationkey
         LEFT JOIN deg ON deg.node = n.n_nationkey
@@ -270,7 +331,9 @@ object GraphOps {
     "q148_bfs_hops",
     (s, d) => {
       val und = undirected(s, d)
-      val bc = bcIf(t(s, d, "nation").count() <= BroadcastRowLimit) _
+      val bc = bcIf(cachedCount(s, d, "nation_rows") {
+        t(s, d, "nation").count()
+      } <= BroadcastRowLimit) _
       val adj = und.select(col("a").as("u"), col("b").as("v"))
         .union(und.select(col("b").as("u"), col("a").as("v")))
       var dist = t(s, d, "nation")
@@ -290,9 +353,14 @@ object GraphOps {
               .otherwise(-1L).as("hops"))
           .localCheckpoint()
       }
+      // edge-consistency + frontier-support + source contract over the
+      // final labeling (VERDICT r8 #1): verified from the checkpointed
+      // node-sized vector and the edge list, oracle pins it TRUE
+      val ok = InvariantChecks.bfsChecks(adj, dist, source = 0L, maxDepth = 3)
       dist
         .join(t(s, d, "nation"), col("node") === col("n_nationkey"))
-        .select(col("node"), col("n_name"), col("hops"))
+        .crossJoin(broadcast(ok))
+        .select(col("node"), col("n_name"), col("hops"), col("bfs_ok"))
         .orderBy(col("hops"), col("node"))
     },
     Some("""WITH edges AS (
@@ -319,7 +387,8 @@ object GraphOps {
                   WHEN n.n_nationkey IN (SELECT node FROM d1) THEN 1
                   WHEN n.n_nationkey IN (SELECT node FROM d2) THEN 2
                   WHEN n.n_nationkey IN (SELECT node FROM d3) THEN 3
-                  ELSE -1 END AS BIGINT) AS hops
+                  ELSE -1 END AS BIGINT) AS hops,
+             TRUE AS bfs_ok
       FROM nation n ORDER BY hops, node"""),
     note = "fixed-superstep Pregel BFS; frontier broadcast only under " +
       "the node-count threshold, distance vector node-sized, lineage " +
@@ -355,7 +424,9 @@ object GraphOps {
       val nodes = t(s, d, "customer").select(col("c_custkey").as("node"))
         .union(t(s, d, "supplier")
           .select((-col("s_suppkey") - 1L).as("node")))
-      val nNodes = t(s, d, "customer").count() + t(s, d, "supplier").count()
+      val nNodes = cachedCount(s, d, "customer+supplier_rows") {
+        t(s, d, "customer").count() + t(s, d, "supplier").count()
+      }
       // mass 1e12: at 165k nodes the per-node share stays ~6e6 units —
       // the q131 micro-unit mass would collapse to single digits here
       pageRankRanks(nodes, edges, outDegrees(edges), 2,

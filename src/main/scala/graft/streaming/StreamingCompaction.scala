@@ -29,11 +29,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   staging) are EXCLUDED by the pointer, so cleanup is best-effort.
   * - COMPACT: when the live count reaches `maxLive`, plan bins over the
   *   ACTUAL on-disk file sizes (greedy sorted next-fit — the q152
-  *   dataflow, here over a manifest-sized inventory on the driver),
-  *   rewrite base ∪ live as `v<n+1>` in ONE job (paths → bin map
-  *   broadcast against input_file_name, repartition(bin) +
-  *   partitionBy(bin) → exactly one file per bin), then commit by
-  *   writing `_CURRENT` via temp-file + atomic rename.
+  *   dataflow, here over a manifest-sized inventory on the driver).
+  *   Files already >= target carry into `v<n+1>` as their own bins via
+  *   hard links (no re-encode — write amplification stays O(live tail),
+  *   not O(table)); only the under-filled tail + live files are
+  *   repacked in ONE job (each bin its own sub-scan stamped with a
+  *   literal bin id, repartition(bin) + partitionBy(bin) → exactly one
+  *   file per bin). Commit is `_CURRENT` via temp-file + atomic rename;
+  *   the pointer payload is CRC-sealed.
   *
   * Crash safety by construction: before the pointer rename the old
   * snapshot is intact (a half-written v<n+1> is orphaned and
@@ -54,8 +57,29 @@ object StreamingCompaction {
   private def fs(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
+  private def crc32(s: String): String = {
+    val c = new java.util.zip.CRC32()
+    c.update(s.getBytes("UTF-8"))
+    java.lang.Long.toHexString(c.getValue)
+  }
+
+  private def statePayload(st: TableState): String = {
+    val body = s"v=${st.version};upTo=${st.upTo}"
+    s"$body;crc=${crc32(body)}"
+  }
+
+  /** Pointer payloads are CRC-sealed (ADVICE r8): the tmp write-ahead is
+    * trusted on version ties, so a torn-but-still-parseable truncation
+    * (e.g. `v=2;upTo=1` cut from `v=2;upTo=12`) must read as ABSENT,
+    * not commit a wrong upTo and resurface consumed live batches. Only a
+    * payload whose trailing crc matches the body is eligible. */
   private def parseState(txt: String): TableState = {
-    val kv = txt.trim.split(";").map(_.split("=", 2))
+    val t = txt.trim
+    val cut = t.lastIndexOf(";crc=")
+    require(cut > 0, s"pointer payload missing crc seal: '$t'")
+    val (body, crc) = (t.substring(0, cut), t.substring(cut + 5))
+    require(crc32(body) == crc, s"pointer payload crc mismatch: '$t'")
+    val kv = body.split(";").map(_.split("=", 2))
       .map(a => a(0) -> a(1)).toMap
     TableState(kv("v").toLong, kv("upTo").toLong)
   }
@@ -91,7 +115,7 @@ object StreamingCompaction {
     val f = fs(spark)
     val tmp = new Path(s"$tableDir/_CURRENT.tmp")
     val out = f.create(tmp, true)
-    out.write(s"v=${st.version};upTo=${st.upTo}".getBytes("UTF-8"))
+    out.write(statePayload(st).getBytes("UTF-8"))
     out.hsync(); out.close()
     // atomic replace on a local/posix fs; readState's tmp fallback covers
     // a crash in any window around it (tmp is the write-ahead record)
@@ -147,7 +171,21 @@ object StreamingCompaction {
     }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
   }
 
-  /** Rewrite base ∪ live(≤ upToNew) into `v<n+1>` and commit. */
+  /** Rewrite base ∪ live(≤ upToNew) into `v<n+1>` and commit.
+    *
+    * Write amplification is bounded by the UNDER-TARGET tail (ADVICE
+    * r8): files already at or above the bin target — bins packed by a
+    * previous cycle, or an oversized live batch — are NOT re-encoded.
+    * Each is carried into `v<n+1>` as its own bin via a hard link
+    * (zero-copy, and crash-safe: the old version's file is untouched, a
+    * pre-commit crash orphans only the new links). Only the under-filled
+    * tail plus the small live files pay the parquet rewrite, so a
+    * steady-state cycle costs O(maxLive batches + one partial bin), not
+    * O(table). On an object store without link support the same
+    * carry-forward is a manifest reference (the Iceberg pattern); the
+    * local-fs stand-in uses links to keep every version dir
+    * self-contained — which is what lets [[sweepStale]] stay a plain
+    * directory delete. */
   private[graft] def compact(spark: SparkSession, tableDir: String,
                              target: Long, upToNew: Long): Unit = {
     val st = readState(spark, tableDir)
@@ -155,23 +193,47 @@ object StreamingCompaction {
       .filter(_._1 <= upToNew)
     val files = inventory(spark, tableDir, st, consumed)
     if (files.isEmpty) return
-    val bins = planBins(files, target)
+    val (full, small) = files.partition(_._2 >= target)
+    val bins = planBins(small, target)
     val next = st.version + 1
+    val outDir = s"$tableDir/v$next"
     // bin membership by CONSTRUCTION, not by path-string matching: each
     // bin's file group is its own sub-scan stamped with a literal bin id
     // (a join on input_file_name is a string-parity trap — URI encoding
     // differs between the driver's Path and the executor's file name).
     // Plan width is O(bins) scans — manifest-bounded, and each sub-scan
     // opens only its own files.
-    bins.toSeq.sortBy(_._1)
-      .map { case (bin, paths) =>
-        spark.read.parquet(paths.map(_.toString): _*)
-          .withColumn("bin", lit(bin))
+    if (bins.nonEmpty)
+      bins.toSeq.sortBy(_._1)
+        .map { case (bin, paths) =>
+          spark.read.parquet(paths.map(_.toString): _*)
+            .withColumn("bin", lit(bin))
+        }
+        .reduce(_.unionByName(_))
+        .repartition(col("bin"))
+        .write.mode("overwrite").partitionBy("bin")
+        .parquet(outDir)
+    else { // everything is already full-sized; still need a fresh v dir
+      fs(spark).delete(new Path(outDir), true)
+      fs(spark).mkdirs(new Path(outDir))
+    }
+    // carry full bins forward AFTER the spark write (overwrite mode
+    // would wipe links created first); one bin per carried file, ids
+    // above the packed range
+    val fullStart = if (bins.isEmpty) 0L else bins.keys.max + 1L
+    full.sortBy { case (p, b) => (-b, p.toString) }.zipWithIndex
+      .foreach { case ((p, _), i) =>
+        val binDir = java.nio.file.Paths.get(outDir, s"bin=${fullStart + i}")
+        java.nio.file.Files.createDirectories(binDir)
+        val dst = binDir.resolve(p.getName)
+        java.nio.file.Files.deleteIfExists(dst) // replayed attempt
+        try java.nio.file.Files.createLink(
+          dst, java.nio.file.Paths.get(p.toUri.getPath))
+        catch { case _: UnsupportedOperationException =>
+          java.nio.file.Files.copy( // fs without hard links: degrade to copy
+            java.nio.file.Paths.get(p.toUri.getPath), dst)
+        }
       }
-      .reduce(_.unionByName(_))
-      .repartition(col("bin"))
-      .write.mode("overwrite").partitionBy("bin")
-      .parquet(s"$tableDir/v$next")
     compactionFault(0) // crash BEFORE the commit: old snapshot intact
     commitState(spark, tableDir, TableState(next, upToNew))
     compactionFault(1) // crash AFTER the commit: cleanup is best-effort

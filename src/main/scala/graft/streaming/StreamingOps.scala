@@ -111,8 +111,9 @@ object StreamingOps {
     * skew handling absorbs OUTPUT growth. The defense composes q44's
     * watermarked dedup AS A RATE LIMIT in front of the join: keep one
     * view per (user, 10-minute bucket) within the watermark, bounding
-    * every user's buffered-view fan-in to ≤ 6 per attribution hour
-    * before any pair forms. Purchases are never dropped.
+    * every user's buffered-view fan-in to at most one per 10-minute
+    * bucket — ≤ 7 per attribution hour (partial buckets clip at both
+    * ends) — before any pair forms. Purchases are never dropped.
     *
     * Parity with the batch twin holds under event-time-ordered per-user
     * arrival (dropDuplicatesWithinWatermark keeps the first ARRIVED;

@@ -765,6 +765,8 @@ class QueriesSpec extends SparkSpec {
     // integer truncation and dangling-mass drop only LOSE mass
     assert(prs.sum <= 1000000L, s"mass ${prs.sum} exceeds initial 1e6")
     assert(prs.max > 150000L / n, "no node accumulated link mass")
+    // the in-query conservation contract holds on the engine's own run
+    assert(rows.forall(_.getAs[Boolean]("mass_ok")))
   }
 
   test("q132 SemDeDup: drops are unique and each keeper is a q23 near-dup") {
@@ -835,6 +837,8 @@ class QueriesSpec extends SparkSpec {
     val n = rows.length
     assert(rows.map(_.getAs[Long]("triangles")).sum % 3 == 0)
     rows.foreach(r => assert(r.getAs[Long]("degree") <= n - 1))
+    // edge-iterator total agrees with the node-iterator total in-query
+    assert(rows.forall(_.getAs[Boolean]("tri_xcheck")))
   }
 
   test("q138 k-anonymity: classes partition the customer table") {
@@ -994,6 +998,8 @@ class QueriesSpec extends SparkSpec {
     // levels are contiguous (no k without a k-1 elsewhere)
     val levels = hops.values.filter(_ >= 0).toSet
     (0L to levels.max).foreach(k => assert(levels.contains(k), s"gap at $k"))
+    // the in-query edge-consistency/frontier-support contract holds
+    assert(rows.forall(_.getAs[Boolean]("bfs_ok")))
   }
 
   test("q149 trending: ranks dense per year, deltas reconcile with prior year") {
@@ -1138,11 +1144,12 @@ class QueriesSpec extends SparkSpec {
     def run() = QueryRegistry.byName(name).fn(spark, sf).collect()
       .map(r => (r.getAs[Long]("node"), r.getAs[Long]("pr_units"))).toSeq
     val viaBroadcast = run() // 165 nodes at sf0.001 -> under the limit
+    // DynamicVariable scoping (ADVICE r8): the forced shuffle path is
+    // confined to plans built inside withValue on THIS thread
     val viaShuffle =
-      try {
-        operators.GraphOps.broadcastRowLimitOverride = Some(0L)
+      operators.GraphOps.broadcastRowLimitOverride.withValue(Some(0L)) {
         run() // every conditional hint now takes the shuffle path
-      } finally operators.GraphOps.broadcastRowLimitOverride = None
+      }
     assert(viaBroadcast.nonEmpty && viaBroadcast == viaShuffle,
       "conditional broadcast hint changed the RESULT, not just the plan")
     // descending total order with node tiebreak; bounded output

@@ -620,7 +620,12 @@ class StreamingSpec extends SparkSpec {
     (0 to 2).foreach(i => // batch 2 trips maxLive=3 -> compaction -> v1
       StreamingCompaction.processBatch(table, 8192, 3)(batch(i), i.toLong))
     assert(new java.io.File(s"$table/v1").isDirectory)
-    for (torn <- Seq("", "v=", "v=2;upT")) {
+    // ADVICE r8: beyond unparseable fragments, a torn-but-PARSEABLE
+    // truncation ("v=2;upTo=1" cut from "v=2;upTo=12") and a payload
+    // whose crc does not seal its body must both read as absent — the
+    // write-ahead trusts only fully-written states
+    for (torn <- Seq("", "v=", "v=2;upT", "v=2;upTo=1",
+      "v=2;upTo=1;crc=deadbeef")) {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$table/_CURRENT.tmp"), torn.getBytes)
       val ids = StreamingCompaction.snapshot(spark, table)
@@ -630,6 +635,47 @@ class StreamingSpec extends SparkSpec {
     // and the table still ingests + compacts past the debris
     (3 to 5).foreach(i =>
       StreamingCompaction.processBatch(table, 8192, 3)(batch(i), i.toLong))
+    assert(StreamingCompaction.snapshot(spark, table)
+      .select("id").as[Long].collect().toSet == (0L until 60L).toSet)
+  }
+
+  test("streaming compaction: full bins carry forward by link, not rewrite") {
+    // ADVICE r8 write-amplification fix: a file already at/above the bin
+    // target must ride into the next version as the SAME inode (hard
+    // link), never re-encoded — steady-state compaction cost is the
+    // under-filled tail + live batches, not the whole table
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCompaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_carry").toString
+    val table = s"$dir/table"
+    // ~3 KB incompressible payload per row -> every batch file > target
+    def batch(i: Int) = (i * 10 until i * 10 + 10).map { k =>
+      val s = (1 to 3000).map(j => ('a' + ((k * 31 + j * 17) % 26)).toChar)
+        .mkString
+      (k.toLong, s)
+    }.toDF("id", "payload")
+    def ino(p: java.nio.file.Path): Any =
+      java.nio.file.Files.getAttribute(p, "unix:ino")
+    def binFiles(v: String): Map[String, java.nio.file.Path] =
+      new java.io.File(s"$table/$v").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bin="))
+        .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+        .map(f => f.getName -> f.toPath).toMap
+    (0 to 2).foreach(i => // all three live files >= target -> all carried
+      StreamingCompaction.processBatch(table, 2048, 3)(batch(i), i.toLong))
+    val v1 = binFiles("v1")
+    assert(v1.size == 3, s"expected 3 carried bins in v1, got ${v1.keySet}")
+    val v1Inodes = v1.map { case (n, p) => n -> ino(p) }
+    (3 to 5).foreach(i => // second cycle: v1's 3 files must carry again
+      StreamingCompaction.processBatch(table, 2048, 3)(batch(i), i.toLong))
+    val v2 = binFiles("v2")
+    assert(v2.size == 6, s"expected 6 bins in v2, got ${v2.keySet}")
+    v1Inodes.foreach { case (name, inode) =>
+      assert(v2.contains(name), s"carried file $name missing from v2")
+      assert(ino(v2(name)) == inode,
+        s"$name was rewritten (new inode), not carried by link")
+    }
+    // and the committed view is still exactly the ingested rows
     assert(StreamingCompaction.snapshot(spark, table)
       .select("id").as[Long].collect().toSet == (0L until 60L).toSet)
   }

@@ -123,6 +123,40 @@ def check_bounded(name, spark_df, spec):
                                f"[{below:.4f},{at_or_below:.4f}] outside {q}+-{eps}")
     return True, f"max rank deviation {worst:.4f} <= {eps}"
 
+# In-query invariant contracts (VERDICT r8 #1): these queries carry
+# boolean verdict columns computed by the ENGINE via an independent
+# formulation (edge-vs-node mass conservation, edge-iterator vs
+# node-iterator triangle totals, labeling consistency, sampled
+# brute-force re-scoring). At sf0.01 the oracle pins them to literal
+# TRUE like any other column; past the oracle's reach (the DuckDB CTE
+# twins DNF) a timeout no longer means "unverified": the checker reads
+# the engine dump and verifies every contract column affirmatively ->
+# status "invariant_match" instead of "oracle_timeout".
+INVARIANTS = {
+    "q81_dedup_components": ["inv_edges_ok", "inv_canonical_ok"],
+    "q131_pagerank_trade_graph": ["mass_ok"],
+    "q137_triangle_count": ["tri_xcheck"],
+    "q148_bfs_hops": ["bfs_ok"],
+    "q35_ngram_jaccard_blocked": ["jacc_xck"],
+}
+
+def check_invariants(name, spark_df):
+    """(status, detail) for a timed-out oracle whose query carries
+    invariant columns. Affirmative only when rows exist and every
+    contract column is all-True."""
+    cols = INVARIANTS[name]
+    if len(spark_df) == 0:
+        return "fail", "invariant check on 0 rows"
+    missing = [c for c in cols if c not in spark_df.columns]
+    if missing:
+        return "fail", f"invariant columns missing from dump: {missing}"
+    bad = {c: int((~spark_df[c].astype(bool)).sum()) for c in cols
+           if not spark_df[c].astype(bool).all()}
+    if bad:
+        return "fail", f"invariant violations: {bad}"
+    return "invariant_match", (f"{len(spark_df)} rows; engine-side "
+                               f"contracts all TRUE: {cols}")
+
 def canon(df):
     df = df[sorted(df.columns)].reset_index(drop=True)
     return df
@@ -186,10 +220,20 @@ for name in sorted(os.listdir(OUT_DIR)):
     try:
         oracle_df = canon(run_oracle(oracles[name]))
     except duckdb.InterruptException:
-        skips.append(f"{name}: oracle timeout after {TIMEOUT:.0f}s "
-                     f"({len(spark_df)} spark rows)")
-        record[name] = {"status": "oracle_timeout", "rows": len(spark_df),
-                        "oracle_secs": round(time.time() - t0, 1)}
+        secs = round(time.time() - t0, 1)
+        if name in INVARIANTS:
+            status, detail = check_invariants(name, spark_df)
+            if status == "invariant_match":
+                passes.append(f"{name}: oracle DNF ({secs}s) but {detail}")
+            else:
+                fails.append((name, f"oracle DNF and {detail}"))
+            record[name] = {"status": status, "rows": len(spark_df),
+                            "detail": detail, "oracle_secs": secs}
+        else:
+            skips.append(f"{name}: oracle timeout after {TIMEOUT:.0f}s "
+                         f"({len(spark_df)} spark rows)")
+            record[name] = {"status": "oracle_timeout", "rows": len(spark_df),
+                            "oracle_secs": secs}
         continue
     except Exception as e:
         fails.append((name, f"oracle SQL error: {e}"))
