@@ -305,7 +305,17 @@ object Bench {
     val quietBlock = quietRef.map { ref =>
       val shared = results.filter { case (n, t) =>
         t >= 0.05 && ref.get(n).exists(_ >= 0.05) }
-      if (shared.isEmpty) """"quiet_ref":{"shared":0}"""
+      // name the non-shared rows (VERDICT r8 #8): a reader must be able
+      // to tell "skipped as under the 50 ms ratio floor" from "missing
+      // from the reference snapshot entirely"
+      val excluded = results.collect {
+        case (n, t) if !shared.exists(_._1 == n) =>
+          val why = if (!ref.contains(n)) "no_ref"
+            else if (t < 0.05 && ref(n) < 0.05) "both_fast"
+            else if (t < 0.05) "run_fast" else "ref_fast"
+          s""""$n":"$why""""
+      }.mkString("{", ",", "}")
+      if (shared.isEmpty) s""""quiet_ref":{"shared":0,"excluded":$excluded}"""
       else {
         val ratios = shared.map { case (n, t) => t / ref(n) }.sorted
         val med = ratios(ratios.size / 2)
@@ -317,7 +327,7 @@ object Bench {
         // mistake box weather for a regression (median, not total ratio:
         // one genuine single-query regression must not deflate the rest).
         val adj = results.map(_._2).filter(_ >= 0).sum / med
-        s""""quiet_ref":{"shared":${shared.size},"total":${f3(tot)},"ref_total":${f3(refTot)},"median_query_ratio":${f3(med)},"residual_inflation":${med > 1.15},"adjusted_total":${f3(adj)}}"""
+        s""""quiet_ref":{"shared":${shared.size},"excluded":$excluded,"total":${f3(tot)},"ref_total":${f3(refTot)},"median_query_ratio":${f3(med)},"residual_inflation":${med > 1.15},"adjusted_total":${f3(adj)}}"""
       }
     }.getOrElse(""""quiet_ref":{"shared":0}""")
     // Full per-query map + ALL raw passes go to the file only: with 100+

@@ -46,7 +46,9 @@ object ScaleGen {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
-    val skew = args.lift(3).contains("skew")
+    val flags = args.drop(3).toSet
+    val skew = flags.contains("skew")
+    val affine = flags.contains("affine")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,7 +57,7 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, reps, skew)
+    generate(spark, src, out, reps, skew, affine)
     spark.stop()
   }
 
@@ -77,8 +79,25 @@ object ScaleGen {
     * redirected foreign key still joins. Timing-evidence data only: the
     * redirects change query RESULTS vs the uniform build by construction,
     * so the skew dir never feeds the correctness gate. */
+  /** `affine = true` (VERDICT r8 #2 — the second measured decade): swap
+    * the Caesar rotation for a per-replica AFFINE substitution
+    * c → a·c + b (mod 26), a coprime to 26, (a,b) = (1,0) for replica 0.
+    * Needed to COMPOSE scale-ups (sf0.1 →10× sf1 →10× sf10): composing
+    * two rotations is a rotation, and with 100 total replicas over only
+    * 26 rotation classes the pigeonhole would hand ~4 replicas per
+    * class IDENTICAL text multisets — every content-keyed operator then
+    * measures the generator's duplicates, not the plan. An affine map
+    * composed with a rotation is affine with the SAME a, so giving each
+    * second-decade replica a DISTINCT a makes all 100 composed maps
+    * pairwise distinct, agreeing on ≤ 2 of 26 characters (two affine
+    * maps with different a collide on at most gcd-many points) — no
+    * shared shingles, edit structure still preserved exactly (any
+    * character bijection is edit-distance-invariant). Embeddings
+    * additionally get a per-(replica, dim) SIGN FLIP (a diagonal ±1
+    * orthogonal transform: within-replica cosines exact, cross-replica
+    * decorrelated even when composed rotation offsets coincide). */
   def generate(spark: SparkSession, src: String, out: String, reps: Int,
-               skew: Boolean = false): Unit = {
+               skew: Boolean = false, affine: Boolean = false): Unit = {
     def rd(name: String): DataFrame = Tables.t(spark, src, name)
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1
@@ -118,14 +137,24 @@ object ScaleGen {
     lazy val hotUser = rd("events").agg(min(col("user_id"))).head().getLong(0)
     lazy val hotText = rd("documents").orderBy(col("doc_id")).select(col("text"))
       .head().getString(0)
-    // per-replica alphabet rotation on [a-z] (rep 0 = identity, so
-    // replica 0 stays byte-identical); reps <= 26 by construction
-    require(reps <= 26, "alphabet rotation supports at most 26 replicas")
+    // per-replica alphabet substitution on [a-z] (rep 0 = identity, so
+    // replica 0 stays byte-identical): rotation for a first-decade
+    // build, affine (distinct multiplier per replica) when composing a
+    // second decade — see the generate() scaladoc
+    require(if (affine) reps <= 12 else reps <= 26,
+      "alphabet substitution supports <= 26 rotation / <= 12 affine replicas")
     val az = "abcdefghijklmnopqrstuvwxyz"
+    // multipliers coprime to 26 (13 excluded), identity first
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    def subst(i: Int): String =
+      if (!affine) az.drop(i % 26) + az.take(i % 26)
+      else {
+        val (a, b) = (coprimes(i), (7 * i) % 26)
+        az.map(c => ((a * (c - 'a') + b) % 26 + 'a').toChar).mkString
+      }
     def cipher(c: String): org.apache.spark.sql.Column =
       (1 until reps).foldLeft(when(col("rep") === 0, col(c))) { (acc, i) =>
-        acc.when(col("rep") === i,
-          translate(col(c), az, az.drop(i % 26) + az.take(i % 26)))
+        acc.when(col("rep") === i, translate(col(c), az, subst(i)))
       }.otherwise(col(c))
 
     // fixed dims: straight copy
@@ -171,7 +200,16 @@ object ScaleGen {
       .withColumn("label", col("label") + col("rep") * labelS)
       .withColumn("embedding", expr(
         """concat(slice(embedding, rep + 1, size(embedding) - rep),
-                  slice(embedding, 1, rep))""")))
-    println(s"""{"scalegen":"done","src":"$src","out":"$out","reps":$reps,"skew":$skew}""")
+                  slice(embedding, 1, rep))"""))
+      .withColumn("embedding",
+        if (!affine) col("embedding")
+        // per-(replica, dim) sign flip — orthogonal, so within-replica
+        // geometry is EXACT; decorrelates replicas whose composed
+        // rotation offsets coincide (rep 0 stays byte-identical)
+        else when(col("rep") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, pos) =>
+            when(pmod(hash(col("rep"), pos), lit(2)) === 0, x)
+              .otherwise(-x)))))
+    println(s"""{"scalegen":"done","src":"$src","out":"$out","reps":$reps,"skew":$skew,"affine":$affine}""")
   }
 }

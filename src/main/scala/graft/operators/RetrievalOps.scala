@@ -406,5 +406,96 @@ object RetrievalOps {
     note = "percolation with exclusion: NOT = anti-join bounded by the " +
       "forbidden term's document frequency; same one-scan stream shape")
 
+  /** Schema-validated EXTERNAL rule registry (VERDICT r8 #7): q150/q151/
+    * q155 derive their stored queries deterministically from corpus token
+    * ranks — right for oracle checking, but a production registry arrives
+    * as DATA. This entry point canonicalizes a user-supplied DataFrame to
+    * the (qid, n_required, terms, not_terms) contract shared by
+    * [[percolate]] (batch) and
+    * [[graft.streaming.StreamingOps.percolateStream]], and REJECTS a
+    * malformed registry loudly at registration time: a rule registry is
+    * registry-sized, so the validation pass is one bounded driver
+    * action, and failing here beats silently never-firing alerts at
+    * match time.
+    *
+    * Accepted input: `qid` (integral), `terms` (array<string>), optional
+    * `n_required` (defaults to size(terms) — plain conjunction),
+    * optional `not_terms` (defaults to empty). Constraints: qids
+    * non-null and distinct; terms non-empty, distinct, lowercase,
+    * whitespace-free; 1 <= n_required <= size(terms) (the q151
+    * exact-n contract); terms ∩ not_terms empty (a rule requiring and
+    * forbidding the same term can never fire). */
+  def validatedRegistry(raw: DataFrame): DataFrame = {
+    val cols = raw.columns.toSet
+    require(cols.contains("qid") && cols.contains("terms"),
+      s"registry needs qid + terms columns, got ${raw.columns.toSeq}")
+    val reg = raw
+      .withColumn("qid", col("qid").cast("long"))
+      .withColumn("terms", col("terms").cast("array<string>"))
+      .withColumn("n_required",
+        (if (cols.contains("n_required")) col("n_required")
+         else size(col("terms"))).cast("long"))
+      .withColumn("not_terms",
+        (if (cols.contains("not_terms")) col("not_terms")
+         else array()).cast("array<string>"))
+      .select(col("qid"), col("n_required"), col("terms"), col("not_terms"))
+    def n(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val badTerm = (t: org.apache.spark.sql.Column) =>
+      t.isNull || t === "" || t =!= lower(t) || t.contains(" ")
+    val audit = reg.agg(
+      n(col("qid").isNull).as("null qid"),
+      (count(lit(1)) - countDistinct(col("qid"))).as("duplicate qid"),
+      n(col("terms").isNull || size(col("terms")) === 0).as("empty terms"),
+      n(size(array_distinct(col("terms"))) =!= size(col("terms")))
+        .as("duplicate terms in a rule"),
+      n(exists(col("terms"), badTerm) ||
+        exists(col("not_terms"), badTerm))
+        .as("term not lowercase/whitespace-free"),
+      n(col("n_required").isNull || col("n_required") < 1 ||
+        col("n_required") > size(col("terms"))).as("n_required out of range"),
+      n(size(array_intersect(col("terms"), col("not_terms"))) > 0)
+        .as("terms overlap not_terms")).head()
+    val violations = audit.schema.fieldNames.zipWithIndex
+      .map { case (f, i) => f -> (if (audit.isNullAt(i)) 0L else audit.getLong(i)) }
+      .filter(_._2 > 0)
+    require(violations.isEmpty,
+      "registry rejected: " + violations
+        .map { case (f, c) => s"$f ($c rules)" }.mkString("; "))
+    reg
+  }
+
+  /** Batch percolation over an arbitrary [[validatedRegistry]] — the
+    * q151/q155 dataflow generalized from the derived corpus registry to
+    * user data. Scale shape unchanged: the registry's exploded term
+    * table broadcasts, the document stream is tokenized and touched
+    * ONCE, the verdict is `|tokens ∩ terms| == n_required` (q151's
+    * exact-n contract) minus the forbidden-term anti-join (q155's NOT,
+    * bounded by the forbidden terms' document frequency). Emits one
+    * (doc_id, qid) row per fired rule — the same semantics
+    * [[graft.streaming.StreamingOps.percolateStream]] applies per
+    * micro-batch (parity pinned in StreamingSpec). */
+  def percolate(docs: DataFrame, registry: DataFrame): DataFrame = {
+    val reg = validatedRegistry(registry)
+    val docTok = docs.select(col("doc_id"),
+      explode(array_distinct(graft.functions.TextFunctions
+        .tokens(lower(col("text"))))).as("tok"))
+    val conj = docTok
+      .join(broadcast(reg.select(col("qid"), explode(col("terms")).as("tok"))),
+        Seq("tok"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("hits"))
+      .join(broadcast(reg.select(col("qid"), col("n_required"))), Seq("qid"))
+      .filter(col("hits") === col("n_required"))
+      .select(col("qid"), col("doc_id"))
+    val forb = docTok
+      .join(broadcast(
+        reg.select(col("qid"), explode(col("not_terms")).as("tok"))),
+        Seq("tok"))
+      .select(col("qid"), col("doc_id"))
+    conj.join(forb, Seq("qid", "doc_id"), "left_anti")
+      .select(col("doc_id"), col("qid"))
+  }
+
   val all: Seq[GraftQuery] = Seq(q130, q142, q150, q151, q155)
 }

