@@ -310,7 +310,10 @@ object Bench {
       // from the reference snapshot entirely"
       val excluded = results.collect {
         case (n, t) if !shared.exists(_._1 == n) =>
-          val why = if (!ref.contains(n)) "no_ref"
+          // a crashed query records the -1 sentinel — it must read as
+          // FAILED here, never as "ran under the 50 ms floor"
+          val why = if (t < 0) "failed"
+            else if (!ref.contains(n)) "no_ref"
             else if (t < 0.05 && ref(n) < 0.05) "both_fast"
             else if (t < 0.05) "run_fast" else "ref_fast"
           s""""$n":"$why""""

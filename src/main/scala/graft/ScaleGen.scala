@@ -47,6 +47,11 @@ object ScaleGen {
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
     val flags = args.drop(3).toSet
+    val unknown = flags -- Set("skew", "affine")
+    // reject typos loudly: a misspelled "affine" would silently build a
+    // rotation-composed decade — the duplicate-text corpus the affine
+    // mode exists to prevent
+    require(unknown.isEmpty, s"unknown ScaleGen flags: $unknown")
     val skew = flags.contains("skew")
     val affine = flags.contains("affine")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

@@ -76,11 +76,21 @@ object GraphOps {
   private val statCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Long]()
 
-  private def cachedCount(s: SparkSession, d: String, stat: String)
-                         (measure: => Long): Long =
+  /** Table-version component of the cache key: the max lastModified of
+    * the tables the stat derives from. A data dir regenerated IN PLACE
+    * (ScaleGen overwrite) bumps the mtime, so the stale count — which
+    * could force a broadcast of a now-huge table — can never be served
+    * across a rewrite. One driver-side fs stat per table, no job. */
+  private def tableVersion(d: String, tables: Seq[String]): String =
+    tables.map(t => new java.io.File(s"$d/$t.parquet").lastModified)
+      .max.toString
+
+  private def cachedCount(s: SparkSession, d: String, stat: String,
+                          tables: Seq[String])(measure: => Long): Long =
     if (broadcastRowLimitOverride.value.isDefined) measure
     else statCache.computeIfAbsent((s.sparkContext.applicationId +
-        "/" + System.identityHashCode(s), d, stat),
+        "/" + System.identityHashCode(s),
+        d + "@" + tableVersion(d, tables), stat),
       _ => java.lang.Long.valueOf(measure)).longValue()
 
   /** Directed nation-level trade graph: customer's nation → supplier's
@@ -166,7 +176,7 @@ object GraphOps {
     (s, d) => {
       val edges = tradeEdges(s, d)
       val nodes = t(s, d, "nation").select(col("n_nationkey").as("node"))
-      val small = cachedCount(s, d, "nation_rows") {
+      val small = cachedCount(s, d, "nation_rows", Seq("nation")) {
         t(s, d, "nation").count()
       } <= BroadcastRowLimit
       val bc = bcIf(small) _
@@ -253,7 +263,8 @@ object GraphOps {
     "q137_triangle_count",
     (s, d) => {
       val und = undirected(s, d)
-      val bc = bcIf(cachedCount(s, d, "trade_und_edges") {
+      val bc = bcIf(cachedCount(s, d, "trade_und_edges",
+        Seq("customer", "orders", "lineitem", "supplier")) {
         und.count()
       } <= BroadcastRowLimit) _
       val tri = und.as("e1")
@@ -331,7 +342,7 @@ object GraphOps {
     "q148_bfs_hops",
     (s, d) => {
       val und = undirected(s, d)
-      val bc = bcIf(cachedCount(s, d, "nation_rows") {
+      val bc = bcIf(cachedCount(s, d, "nation_rows", Seq("nation")) {
         t(s, d, "nation").count()
       } <= BroadcastRowLimit) _
       val adj = und.select(col("a").as("u"), col("b").as("v"))
@@ -424,7 +435,8 @@ object GraphOps {
       val nodes = t(s, d, "customer").select(col("c_custkey").as("node"))
         .union(t(s, d, "supplier")
           .select((-col("s_suppkey") - 1L).as("node")))
-      val nNodes = cachedCount(s, d, "customer+supplier_rows") {
+      val nNodes = cachedCount(s, d, "customer+supplier_rows",
+        Seq("customer", "supplier")) {
         t(s, d, "customer").count() + t(s, d, "supplier").count()
       }
       // mass 1e12: at 165k nodes the per-node share stays ~6e6 units —

@@ -44,10 +44,16 @@ object InvariantChecks {
     * `edges`: (`src`,`dst`); `comps`: (`key`,`comp`). */
   def componentChecks(edges: DataFrame, comps: DataFrame): DataFrame = {
     val byKey = comps.select(col("key"), col("comp"))
+    // LEFT joins: an endpoint the labeling DROPPED entirely must flip
+    // the verdict — an inner join would silently exclude exactly the
+    // corrupted edges and pass vacuously
     val eok = edges
-      .join(byKey.select(col("key").as("src"), col("comp").as("ca")), Seq("src"))
-      .join(byKey.select(col("key").as("dst"), col("comp").as("cb")), Seq("dst"))
-      .agg(coalesce(min(when(col("ca") === col("cb"), 1L).otherwise(0L)),
+      .join(byKey.select(col("key").as("src"), col("comp").as("ca")),
+        Seq("src"), "left")
+      .join(byKey.select(col("key").as("dst"), col("comp").as("cb")),
+        Seq("dst"), "left")
+      .agg(coalesce(min(when(col("ca").isNotNull && col("cb").isNotNull &&
+        col("ca") === col("cb"), 1L).otherwise(0L)),
         lit(1L)).as("eok"))
     val mok = comps.groupBy(col("comp")).agg(min(col("key")).as("mk"))
       .agg(coalesce(min(when(col("mk") === col("comp"), 1L).otherwise(0L)),
@@ -122,10 +128,14 @@ object InvariantChecks {
                 maxDepth: Int): DataFrame = {
     val du = dist.select(col("node").as("u"), col("hops").as("hu"))
     val dv = dist.select(col("node").as("v"), col("hops").as("hv"))
-    val labeled = adj.join(du, Seq("u")).join(dv, Seq("v"))
+    // LEFT joins: a node dropped from the labeling (no row at all, vs
+    // the explicit -1 sentinel) must flip the verdict, not vanish from
+    // the edge audit
+    val labeled = adj.join(du, Seq("u"), "left").join(dv, Seq("v"), "left")
     val edgeOk = labeled.agg(coalesce(min(
-      when(col("hu").between(0L, (maxDepth - 1).toLong) &&
-        (col("hv") === -1L || col("hv") > col("hu") + 1L), 0L)
+      when(col("hu").isNull || col("hv").isNull, 0L)
+        .when(col("hu").between(0L, (maxDepth - 1).toLong) &&
+          (col("hv") === -1L || col("hv") > col("hu") + 1L), 0L)
         .otherwise(1L)), lit(1L)).as("eok"))
     val supported = labeled
       .filter(col("hv") > 0L && col("hu") === col("hv") - 1L)

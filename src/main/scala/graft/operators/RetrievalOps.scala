@@ -435,9 +435,15 @@ object RetrievalOps {
       .withColumn("n_required",
         (if (cols.contains("n_required")) col("n_required")
          else size(col("terms"))).cast("long"))
+      // coalesce AFTER the cast: a row-level NULL not_terms (not just an
+      // absent column) must canonicalize to empty — a NULL array makes
+      // the stream's array_intersect guard NULL-drop every doc while the
+      // batch explode fires the rule, the exact silent divergence this
+      // entry point exists to prevent
       .withColumn("not_terms",
-        (if (cols.contains("not_terms")) col("not_terms")
-         else array()).cast("array<string>"))
+        coalesce((if (cols.contains("not_terms")) col("not_terms")
+                  else array()).cast("array<string>"),
+          array().cast("array<string>")))
       .select(col("qid"), col("n_required"), col("terms"), col("not_terms"))
     def n(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))
@@ -445,7 +451,9 @@ object RetrievalOps {
       t.isNull || t === "" || t =!= lower(t) || t.contains(" ")
     val audit = reg.agg(
       n(col("qid").isNull).as("null qid"),
-      (count(lit(1)) - countDistinct(col("qid"))).as("duplicate qid"),
+      // count(col) skips nulls, so a NULL qid is reported once (above),
+      // not double-reported as a phantom duplicate
+      (count(col("qid")) - countDistinct(col("qid"))).as("duplicate qid"),
       n(col("terms").isNull || size(col("terms")) === 0).as("empty terms"),
       n(size(array_distinct(col("terms"))) =!= size(col("terms")))
         .as("duplicate terms in a rule"),

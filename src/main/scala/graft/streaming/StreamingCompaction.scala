@@ -71,14 +71,27 @@ object StreamingCompaction {
   /** Pointer payloads are CRC-sealed (ADVICE r8): the tmp write-ahead is
     * trusted on version ties, so a torn-but-still-parseable truncation
     * (e.g. `v=2;upTo=1` cut from `v=2;upTo=12`) must read as ABSENT,
-    * not commit a wrong upTo and resurface consumed live batches. Only a
-    * payload whose trailing crc matches the body is eligible. */
-  private def parseState(txt: String): TableState = {
+    * not commit a wrong upTo and resurface consumed live batches.
+    *
+    * The seal is REQUIRED only where torn writes can occur — the tmp
+    * write-ahead. The main `_CURRENT` is only ever replaced by an atomic
+    * rename, cannot be torn, and may predate the seal (a table committed
+    * by the pre-crc writer): demanding a seal there would silently parse
+    * a healthy pointer as absent, reset the table to v0, and let the
+    * next compact+sweep destroy the old base. An unsealed main pointer
+    * therefore still parses; a sealed one validates. */
+  private def parseState(txt: String, requireSeal: Boolean): TableState = {
     val t = txt.trim
     val cut = t.lastIndexOf(";crc=")
-    require(cut > 0, s"pointer payload missing crc seal: '$t'")
-    val (body, crc) = (t.substring(0, cut), t.substring(cut + 5))
-    require(crc32(body) == crc, s"pointer payload crc mismatch: '$t'")
+    require(cut > 0 || !requireSeal,
+      s"pointer payload missing required crc seal: '$t'")
+    val body =
+      if (cut < 0) t
+      else {
+        val (b, crc) = (t.substring(0, cut), t.substring(cut + 5))
+        require(crc32(b) == crc, s"pointer payload crc mismatch: '$t'")
+        b
+      }
     val kv = body.split(";").map(_.split("=", 2))
       .map(a => a(0) -> a(1)).toMap
     TableState(kv("v").toLong, kv("upTo").toLong)
@@ -91,21 +104,23 @@ object StreamingCompaction {
     // mismatch) must read as ABSENT, not brick every subsequent
     // readState (the _CURRENT itself is only ever replaced atomically,
     // so a torn main pointer cannot occur)
-    def read(p: Path): Option[TableState] = scala.util.Try {
+    def read(p: Path, requireSeal: Boolean): Option[TableState] = scala.util.Try {
       val in = f.open(p)
       try {
         val buf = new java.io.ByteArrayOutputStream()
         val b = new Array[Byte](256)
         var n = in.read(b)
         while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
-        parseState(new String(buf.toByteArray, "UTF-8"))
+        parseState(new String(buf.toByteArray, "UTF-8"), requireSeal)
       } finally in.close()
     }.toOption
     // the durably-written tmp is the commit's write-ahead: if a crash
     // landed between tmp write and the atomic move, the newer of the
-    // two states wins (tmp.version is always current or current+1)
-    (read(new Path(s"$tableDir/_CURRENT")) ++
-      read(new Path(s"$tableDir/_CURRENT.tmp")))
+    // two states wins (tmp.version is always current or current+1).
+    // Only the tmp demands the crc seal — it is the one file a crash
+    // can tear; the main pointer is rename-atomic (see parseState).
+    (read(new Path(s"$tableDir/_CURRENT"), requireSeal = false) ++
+      read(new Path(s"$tableDir/_CURRENT.tmp"), requireSeal = true))
       .reduceOption((a, b) => if (a.version >= b.version) a else b)
       .getOrElse(TableState(0L, -1L))
   }
@@ -229,9 +244,13 @@ object StreamingCompaction {
         java.nio.file.Files.deleteIfExists(dst) // replayed attempt
         try java.nio.file.Files.createLink(
           dst, java.nio.file.Paths.get(p.toUri.getPath))
-        catch { case _: UnsupportedOperationException =>
-          java.nio.file.Files.copy( // fs without hard links: degrade to copy
-            java.nio.file.Paths.get(p.toUri.getPath), dst)
+        catch {
+          // no-link filesystems surface FileSystemException (an
+          // IOException), not just UOE — degrade to a byte copy either
+          // way (still no parquet re-encode)
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(
+              java.nio.file.Paths.get(p.toUri.getPath), dst)
         }
       }
     compactionFault(0) // crash BEFORE the commit: old snapshot intact

@@ -40,6 +40,11 @@ class InvariantsSpec extends SparkSpec {
       .toDF("key", "comp")
     assert(!oneBool(InvariantChecks.componentChecks(edges, nonMin),
       "inv_canonical_ok"))
+    // DROPPED node: keys 5/6 missing from the labeling entirely — the
+    // left-join audit must flip, not silently exclude their edge
+    val dropped = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L).toDF("key", "comp")
+    assert(!oneBool(InvariantChecks.componentChecks(edges, dropped),
+      "inv_edges_ok"))
   }
 
   test("pageRankMassCheck: conserved superstep passes, lost mass fails") {
@@ -93,6 +98,12 @@ class InvariantsSpec extends SparkSpec {
     val badSrc = Seq(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> -1L)
       .toDF("node", "hops")
     assert(!oneBool(InvariantChecks.bfsChecks(adj, badSrc, 0L, 3), "bfs_ok"))
+    // DROPPED node: node 2 has no row at all (vs the -1 sentinel) — its
+    // edges must flip the left-join audit, not vanish from it
+    val droppedNode = Seq(0L -> 0L, 1L -> 1L, 3L -> 3L, 4L -> -1L)
+      .toDF("node", "hops")
+    assert(!oneBool(InvariantChecks.bfsChecks(adj, droppedNode, 0L, 3),
+      "bfs_ok"))
   }
 
   test("q35 sampled cross-check engages: sampled pairs exist at sf0.01") {

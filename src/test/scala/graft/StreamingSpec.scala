@@ -688,6 +688,17 @@ class StreamingSpec extends SparkSpec {
       StreamingCompaction.processBatch(table, 8192, 3)(batch(i), i.toLong))
     assert(StreamingCompaction.snapshot(spark, table)
       .select("id").as[Long].collect().toSet == (0L until 60L).toSet)
+    // migration: a MAIN pointer written by the pre-crc code (unsealed,
+    // rename-atomic so never torn) must still parse — demanding the seal
+    // there would reset a healthy table to v0 and let the next
+    // compact+sweep destroy the base
+    val current = java.nio.file.Paths.get(s"$table/_CURRENT")
+    val sealed_ = new String(java.nio.file.Files.readAllBytes(current), "UTF-8")
+    java.nio.file.Files.write(current,
+      sealed_.substring(0, sealed_.lastIndexOf(";crc=")).getBytes("UTF-8"))
+    assert(StreamingCompaction.snapshot(spark, table)
+      .select("id").as[Long].collect().toSet == (0L until 60L).toSet,
+      "unsealed legacy _CURRENT no longer parses")
   }
 
   test("streaming compaction: full bins carry forward by link, not rewrite") {
@@ -887,6 +898,14 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, Seq("spark"))).toDF("qid", "terms")).head()
     assert(minimal.getAs[Long]("n_required") == 1L &&
       minimal.getAs[scala.collection.Seq[String]]("not_terms").isEmpty)
+    // a row-level NULL not_terms canonicalizes to empty (a NULL array
+    // would make the stream's intersect guard silently drop every doc
+    // while the batch explode fires the rule)
+    val nullNt = operators.RetrievalOps.validatedRegistry(spark.sql(
+      "SELECT 1L AS qid, array('spark') AS terms, 1L AS n_required, " +
+        "CAST(NULL AS ARRAY<STRING>) AS not_terms")).head()
+    assert(nullNt.getAs[scala.collection.Seq[String]]("not_terms") != null &&
+      nullNt.getAs[scala.collection.Seq[String]]("not_terms").isEmpty)
     // malformed registries are rejected loudly, naming the violation
     def rejects(df: org.apache.spark.sql.DataFrame, why: String): Unit = {
       val e = intercept[IllegalArgumentException] {
