@@ -82,7 +82,7 @@ object QueryRegistry {
     "q54_pivot_event_counts", "q55_percentiles", "q96_histogram_totalprice",
     "q101_pivot_revenue_matrix", "q104_mixture_weights",
     "q107_corr_qty_discount", "q110_lateral_topk_per_region",
-    "q112_temperature_mixture", "q115_recursive_hierarchy")
+    "q112_temperature_mixture")
 
   private val fixedShape = Seq(
     "q02_filter_project_topk", "q03_join_revenue_by_segment",
@@ -133,9 +133,24 @@ object QueryRegistry {
   // faster WITH AQE). Six were flagged and REVERTED on a measured
   // regression in the full-suite run (AQE was earning its latency):
   // q60 1.5->2.3s, q118 1.0->1.4s, q80 1.0->1.2s, q37, q98, q114.
+  // q115 (recursive CTE): the default cteRecursionRowLimit (1M) is a
+  // runaway-recursion guard sized for interactive use, and the chain
+  // table is N·log2(max_id) rows BY CONSTRUCTION (~16M at sf10 — the
+  // first 100x SuiteProbe pass failed exactly here). Termination is
+  // structurally guaranteed twice over — the anchor column halves every
+  // step (anc > 0 strictly decreases) and cteRecursionLevelLimit (100)
+  // stays as the backstop — so the row guard is the one Spark limit that
+  // cannot scale with this query; -1 disables it. AQE off as measured
+  // for the fixed-shape tier, but the shuffle width is NOT pinned: the
+  // final groupBy(doc_id) reduce side is corpus-sized, which grows with
+  // sf (the old boundedReduce listing was a misclassification).
+  private val recursionDeep =
+    noAqe + ("spark.sql.cteRecursionRowLimit" -> "-1")
+
   lazy val execConfs: Map[String, Map[String, String]] =
     (boundedReduce.map(_ -> noAqeBounded) ++
-      fixedShape.map(_ -> noAqe)).toMap
+      fixedShape.map(_ -> noAqe)).toMap +
+      ("q115_recursive_hierarchy" -> recursionDeep)
 
   /** Run `body` (which must both BUILD and EXECUTE the query — AQE reads
     * session conf at physical-planning time, i.e. at execution) under the

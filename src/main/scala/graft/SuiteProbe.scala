@@ -31,6 +31,16 @@ object SuiteProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftExtensions.install(spark)
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    // Same inter-query hygiene as Bench/Profile: queries leave
+    // localCheckpoint blocks cached (never self-unpersisted), and at sf10
+    // the accumulated blocks of ~90 earlier queries squeezed q35's
+    // blocked sort-join into permanent spill — 35+ min and unfinished vs
+    // 105 s in a fresh JVM (first 100x pass). The GC also lets
+    // ContextCleaner reclaim shuffle files + broadcasts.
+    def dropCached(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+    }
     val names = QueryRegistry.queries.map(_.name).sorted
     var failed = 0
     val rows = names.map { n =>
@@ -40,9 +50,11 @@ object SuiteProbe {
           QueryRegistry.byName(n).fn(spark, sfDir).queryExecution.toRdd.count()
         }
         val secs = (System.nanoTime() - t0) / 1e9
+        dropCached()
         s"""{"rows":$c,"secs":${f3(secs)}}"""
       } catch { case e: Throwable =>
         failed += 1
+        dropCached()
         val msg = String.valueOf(e).replace("\\", "\\\\")
           .replace("\"", "\\\"").replaceAll("[\\r\\n\\t]", " ").take(200)
         s"""{"error":"$msg"}"""

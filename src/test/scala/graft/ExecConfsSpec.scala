@@ -17,9 +17,10 @@ class ExecConfsSpec extends SparkSpec {
   }
 
   // one bounded-reduce query (AQE off + 8-partition pin), one fixed-shape
-  // (AQE off), one ungated control — results must not depend on the gate
+  // (AQE off), one ungated control, and the recursion-gated q115 —
+  // results must not depend on the gate
   for (name <- Seq("q01_pricing_summary", "q20_vector_topk",
-      "q79_passjoin_k2_varlen")) {
+      "q79_passjoin_k2_varlen", "q115_recursive_hierarchy")) {
     test(s"$name: gate on == gate off, row for row") {
       // collect() inside withExecConfs so AQE reads the gated conf at
       // physical planning time, same as Bench/Verify
@@ -44,6 +45,17 @@ class ExecConfsSpec extends SparkSpec {
       }
     }
     assert((spark.conf.getOption(aqe), spark.conf.getOption(sp)) == before)
+  }
+
+  test("q115's gate lifts the recursion row guard and does not pin width") {
+    // The chain table is N*log2(max_id) rows by construction, so the 1M
+    // default guard fails at 100x data (first sf10 SuiteProbe pass);
+    // termination stays guaranteed by the halving anchor + the level
+    // limit. The reduce side is corpus-sized, so the 8-partition
+    // bounded-reduce pin must NOT apply (it was a misclassification).
+    val confs = QueryRegistry.execConfs("q115_recursive_hierarchy")
+    assert(confs("spark.sql.cteRecursionRowLimit") == "-1")
+    assert(!confs.contains("spark.sql.shuffle.partitions"))
   }
 
   test("every execConfs key names a registry query") {
