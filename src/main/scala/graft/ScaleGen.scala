@@ -47,13 +47,15 @@ object ScaleGen {
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
     val flags = args.drop(3).toSet
-    val unknown = flags -- Set("skew", "affine")
-    // reject typos loudly: a misspelled "affine" would silently build a
-    // rotation-composed decade — the duplicate-text corpus the affine
-    // mode exists to prevent
+    val unknown = flags -- Set("skew", "affine", "perm")
+    // reject typos loudly: a misspelled "affine"/"perm" would silently
+    // build a rotation-composed decade — the duplicate-text corpus those
+    // modes exist to prevent
     require(unknown.isEmpty, s"unknown ScaleGen flags: $unknown")
     val skew = flags.contains("skew")
     val affine = flags.contains("affine")
+    val perm = flags.contains("perm")
+    require(!(affine && perm), "affine and perm are exclusive alphabet modes")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,7 +64,7 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, reps, skew, affine)
+    generate(spark, src, out, reps, skew, affine, perm)
     spark.stop()
   }
 
@@ -101,8 +103,26 @@ object ScaleGen {
     * additionally get a per-(replica, dim) SIGN FLIP (a diagonal ±1
     * orthogonal transform: within-replica cosines exact, cross-replica
     * decorrelated even when composed rotation offsets coincide). */
+  /** `perm = true` (the THIRD measured decade, sf10 → sf100): swap the
+    * structured substitutions for a per-replica SEEDED RANDOM PERMUTATION
+    * of [a-z] (rep 0 = identity). Affine maps cannot compose a third
+    * decade: the group of affine maps mod 26 has only 12·26 = 312
+    * elements, so 1000 composed maps pigeonhole ~4 replicas onto
+    * IDENTICAL text multisets. General permutations live in S26 (26! ≈
+    * 4·10^26): perm_k ∘ (the 100 pairwise-distinct second-decade maps)
+    * stays pairwise distinct for distinct perm_k, and a cross-decade
+    * collision requires perm_k' = perm_k ∘ f ∘ g⁻¹ for two specific
+    * composed maps f, g — vanishing over a seeded-random draw, and the
+    * post-generation distinct-text check (distinct texts == reps ×
+    * source's) would catch it. Still a character bijection, so edit
+    * structure is exact. Embeddings get the same rotate-by-rep plus a
+    * sign flip salted DIFFERENTLY from the affine decade's
+    * (hash(rep, pos, 3)): the affine decade's unsalted pattern would make
+    * paths (j,k) and (k,j) cancel (s_j ⊕ s_k symmetric) and produce
+    * byte-identical vectors whenever rotation sums coincide. */
   def generate(spark: SparkSession, src: String, out: String, reps: Int,
-               skew: Boolean = false, affine: Boolean = false): Unit = {
+               skew: Boolean = false, affine: Boolean = false,
+               perm: Boolean = false): Unit = {
     def rd(name: String): DataFrame = Tables.t(spark, src, name)
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1
@@ -146,17 +166,26 @@ object ScaleGen {
     // replica 0 stays byte-identical): rotation for a first-decade
     // build, affine (distinct multiplier per replica) when composing a
     // second decade — see the generate() scaladoc
-    require(if (affine) reps <= 12 else reps <= 26,
+    require(perm || (if (affine) reps <= 12 else reps <= 26),
       "alphabet substitution supports <= 26 rotation / <= 12 affine replicas")
     val az = "abcdefghijklmnopqrstuvwxyz"
     // multipliers coprime to 26 (13 excluded), identity first
     val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     def subst(i: Int): String =
-      if (!affine) az.drop(i % 26) + az.take(i % 26)
+      if (perm) {
+        if (i == 0) az
+        // fixed seed per replica: deterministic across runs, and the
+        // distinctness require below rejects the (vanishing) draw where
+        // two replicas shuffle identically
+        else new scala.util.Random(0x5CA1E000L + i)
+          .shuffle(az.toSeq).mkString
+      } else if (!affine) az.drop(i % 26) + az.take(i % 26)
       else {
         val (a, b) = (coprimes(i), (7 * i) % 26)
         az.map(c => ((a * (c - 'a') + b) % 26 + 'a').toChar).mkString
       }
+    require((0 until reps).map(subst).distinct.size == reps,
+      "alphabet substitutions must be pairwise distinct")
     def cipher(c: String): org.apache.spark.sql.Column =
       (1 until reps).foldLeft(when(col("rep") === 0, col(c))) { (acc, i) =>
         acc.when(col("rep") === i, translate(col(c), az, subst(i)))
@@ -207,13 +236,17 @@ object ScaleGen {
         """concat(slice(embedding, rep + 1, size(embedding) - rep),
                   slice(embedding, 1, rep))"""))
       .withColumn("embedding",
-        if (!affine) col("embedding")
+        if (!affine && !perm) col("embedding")
         // per-(replica, dim) sign flip — orthogonal, so within-replica
         // geometry is EXACT; decorrelates replicas whose composed
-        // rotation offsets coincide (rep 0 stays byte-identical)
+        // rotation offsets coincide (rep 0 stays byte-identical). The
+        // perm decade salts the hash differently (see scaladoc): reusing
+        // the affine decade's pattern would cancel on symmetric paths.
         else when(col("rep") === 0, col("embedding"))
           .otherwise(transform(col("embedding"), (x, pos) =>
-            when(pmod(hash(col("rep"), pos), lit(2)) === 0, x)
+            when(pmod(
+              if (perm) hash(col("rep"), pos, lit(3))
+              else hash(col("rep"), pos), lit(2)) === 0, x)
               .otherwise(-x)))))
     println(s"""{"scalegen":"done","src":"$src","out":"$out","reps":$reps,"skew":$skew,"affine":$affine}""")
   }

@@ -22,6 +22,10 @@ object ShmDir {
     * live process uses anymore. Returns the `spark.local.dir` value;
     * falls back to java.io.tmpdir when /dev/shm is absent. */
   def claim(prefix: String): String = {
+    // GRAFT_LOCAL_DIR: explicit spill-dir override. tmpfs pages compete
+    // with the JVM heap for physical RAM, so a 100x-scale run whose
+    // shuffles reach tens of GB points this at real disk instead.
+    sys.env.get("GRAFT_LOCAL_DIR").foreach { d => return d }
     val base = new java.io.File("/dev/shm")
     if (!base.isDirectory) return System.getProperty("java.io.tmpdir")
     Option(base.listFiles).getOrElse(Array.empty).foreach { f =>

@@ -31,7 +31,14 @@ object SortedJaccardKernel {
     val nb = b.numElements()
     var i = 0; var j = 0; var inter = 0
     while (i < na && j < nb) {
-      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      // binaryCompare, NOT compareTo: Spark 4's compareTo prepends an
+      // isTesting() misuse guard that reads System.getenv PER CALL —
+      // thread dumps of the sf10 full-registry pass showed 12 of 20
+      // executor threads inside ProcessEnvironment from exactly this
+      // line (billions of merge-step comparisons each paying an env
+      // lookup). binaryCompare is the sanctioned fast path compareTo
+      // itself delegates to, so the ordering is bit-identical.
+      val c = a.getUTF8String(i).binaryCompare(b.getUTF8String(j))
       if (c == 0) { inter += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1

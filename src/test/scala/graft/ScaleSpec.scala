@@ -229,4 +229,55 @@ class ScaleSpec extends SparkSpec {
     val orphan = ords.join(custs, ords("o_custkey") === custs("c_custkey"), "left_anti").count()
     assert(orphan == 0, s"$orphan orders reference customers outside their replica")
   }
+
+  test("ScaleGen perm mode: bijective substitution, no duplicate classes, " +
+    "salted embedding flips") {
+    // The third-decade alphabet mode: seeded random permutations instead
+    // of affine maps (S26 composes without the 312-element pigeonhole —
+    // see ScaleGen scaladoc). Random perms can agree on ~1 character, so
+    // unlike the rotation test there is no zero-shared-vocabulary
+    // guarantee; the load-bearing property is NO DUPLICATE CONTENT
+    // CLASSES — distinct texts and distinct embeddings are exactly reps x
+    // the source's, which is what keeps content-keyed operators measuring
+    // the plan instead of generator duplicates.
+    val out = java.nio.file.Files.createTempDirectory("scalegen-perm").toString
+    ScaleGen.generate(spark, sf, out, reps = 3, perm = true)
+    val src = Tables.t(spark, sf, "documents")
+    val gen = spark.read.parquet(s"$out/documents.parquet")
+    val n = src.count()
+    assert(gen.count() == 3 * n, "row count must be reps x source")
+    assert(gen.filter(col("doc_id") < n).exceptAll(src).isEmpty,
+      "replica 0 must stay byte-identical")
+    // substitution (a bijection) preserves every text length
+    assert(gen.filter(length(col("text")) =!= col("n_chars")).count() == 0,
+      "permutation changed a text length")
+    // bijection invariance: replica word-frequency profile == source's
+    def freqProfile(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = df
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).count()
+      .groupBy(col("count")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(freqProfile(gen.filter(col("doc_id") >= n && col("doc_id") < 2 * n))
+      == freqProfile(src), "replica 1 lost the source Zipf profile")
+    // no duplicate content classes across replicas
+    val srcTexts = src.select(col("text")).distinct().count()
+    assert(gen.select(col("text")).distinct().count() == 3 * srcTexts,
+      "perm replicas must not collide on text content")
+    val srcVecs = Tables.t(spark, sf, "embeddings")
+    val genVecs = spark.read.parquet(s"$out/embeddings.parquet")
+    val srcDistinct = srcVecs.select(col("embedding")).distinct().count()
+    assert(genVecs.select(col("embedding")).distinct().count() == 3 * srcDistinct,
+      "perm replicas must not collide on embeddings")
+    // the sign flip is orthogonal: norms preserved exactly per replica
+    val vecStride = srcVecs.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val normDelta = genVecs
+      .selectExpr("aggregate(embedding, 0D, (a, x) -> a + x * x) AS n2",
+        "vec_id")
+      .join(srcVecs.selectExpr(
+        "aggregate(embedding, 0D, (a, x) -> a + x * x) AS n2_src",
+        "vec_id AS src_id"),
+        pmod(col("vec_id"), lit(vecStride)) === col("src_id"))
+      .filter(abs(col("n2") - col("n2_src")) > 1e-3).count()
+    assert(normDelta == 0, "sign flip must preserve embedding norms")
+  }
 }
