@@ -76,6 +76,26 @@ object Tables {
     }
   }
 
+  /** Memoized table row count — the catalog statistic a real engine
+    * reads for free. Scale-adaptive operators (q38's grid width,
+    * GraphOps' conditional broadcasts) need a row count at PLAN time;
+    * paying a count job per invocation is wasted work on immutable
+    * inputs. Keyed by (session, dir@mtime, table): an in-place
+    * regeneration (ScaleGen overwrite) bumps the parquet mtime, so a
+    * stale count is never served across a rewrite — and two sessions
+    * colliding on the key would read the same files and get the same
+    * number, so a collision is harmless. */
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), java.lang.Long]()
+
+  def cachedRowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val ver = new java.io.File(s"$dir/$name.parquet").lastModified
+    countCache.computeIfAbsent(
+      (spark.sparkContext.applicationId + "/" + System.identityHashCode(spark),
+        s"$dir@$ver", name),
+      _ => java.lang.Long.valueOf(t(spark, dir, name).count())).longValue()
+  }
+
   /** Cast to DECIMAL(18,s) — exact, associative sums on both engines. */
   def dec(c: Column, s: Int = 2): Column = c.cast(s"decimal(18,$s)")
 

@@ -457,45 +457,44 @@ object DedupText {
     * self-join (movie_generator.py:83-94), re-keyed to the harness:
     * customers within one nation whose names are ≤2 edits apart.
     * levenshtein is the DuckDB-checkable twin of Ratcliff/Obershelp
-    * (SURVEY F8); the nation key is the block that kills O(n²).
+    * (SURVEY F8); the nation key is the block that BOUNDS the quadratic —
+    * but nation cardinality is a CONSTANT 25, so blocking alone cannot be
+    * the whole plan: at sf10 each nation holds 60k rows → 1.8B pairs
+    * streaming through ONE join partition per nation (25-way parallelism
+    * forever; the straggler measured 27+ CPU-minutes inside the banded DP
+    * before this was unpinned).
     *
-    * Algorithm choice, measured at sf0.1: this corpus (zero-padded dense
-    * digit IDs after the shared "Customer#000..." prefix) defeats every
-    * candidate-generation scheme — PassJoin's 1-2 char segments have no
-    * entropy (candidates ≈ brute pairs, 1.5s) and symmetric-delete
-    * signatures barely discriminate (2.8M candidates vs 4.5M brute pairs,
-    * 1.5s) — while brute-within-block with the corpus common prefix
-    * STRIPPED before the banded DP (ed(Pu,Pv) = ed(u,v), so the O(k·n) DP
-    * runs on 5-char suffixes, not 18-char names) runs in 0.54s with one
-    * shuffle. For corpora with sparse matches see q83 (symmetric-delete)
-    * and q79 (PassJoin) — candidate generation wins there. */
+    * Strategy is therefore selected by MEASURED block size
+    * (EditDistanceJoin.selfJoinAuto, crossover ~3k rows/block): below it,
+    * brute-within-block — this corpus (zero-padded dense digit IDs after
+    * the shared "Customer#000..." prefix) makes candidate generation pure
+    * overhead at small blocks (measured at sf0.1: brute 0.54s vs PassJoin
+    * 1.5s when run UNBLOCKED; per-nation blocks of 600 are far under the
+    * ceiling). Above it, PassJoin candidate generation (selfJoinK2's
+    * multi-match-aware windows), whose (block, segment) join keys grow
+    * with the data — parallelism and per-task work then scale with rows,
+    * not with the fixed nation count. Both paths are exact (hash-matched
+    * oracle + the blocked k=2 agreement test in TokenizerSpec), so the
+    * crossover only moves time, never values. Block size comes from the
+    * cached customer count over the 25-nation uniform assignment — a
+    * catalog-stat read, no plan-time job. */
   private val q38 = GraftQuery(
     "q38_fuzzy_name_pairs",
     (s, d) => {
-      val c = t(s, d, "customer")
-      // corpus common prefix from the lexicographic extremes (two scalars)
-      val mm = c.agg(min(col("c_name")), max(col("c_name"))).head()
-      val plen = mm.getString(0).zip(mm.getString(1))
-        .takeWhile { case (x, y) => x == y }.length
       // single-split input would run the pair scan on one thread
-      val base = c.repartition(s.sparkContext.defaultParallelism)
+      val base = t(s, d, "customer").repartition(s.sparkContext.defaultParallelism)
         .select(col("c_nationkey").as("nk"), col("c_custkey").as("key"),
-          substring(col("c_name"), plen + 1, Int.MaxValue).as("sfx"),
-          length(col("c_name")).as("len"))
-      val a = base.select(col("nk"), col("key").as("a_key"),
-        col("sfx").as("a_sfx"), col("len").as("a_len"))
-      val b = base.select(col("nk"), col("key").as("b_key"),
-        col("sfx").as("b_sfx"), col("len").as("b_len"))
-      a.join(b, Seq("nk"))
-        .filter(col("a_key") < col("b_key"))
-        // thresholded levenshtein: banded O(k·n) DP with early exit,
-        // returns -1 above the bound — exact value otherwise, so the
-        // ≤2 semantics match the oracle's full-DP filter
-        .withColumn("lev",
-          graft.functions.expressions.LevenshteinK
-            .levenshtein_k(col("a_sfx"), col("b_sfx"), 2).cast("long"))
-        .filter(col("lev") >= 0)
-        // ratio is over FULL name lengths (the strip preserves lev only)
+          col("c_name").as("name"))
+      val blockEst = Tables.cachedRowCount(s, d, "customer") / 25
+      val pairs = EditDistanceJoin.selfJoinAuto(base, "key", "name", k = 2,
+        blockCols = Seq("nk"), maxBlockRowsHint = Some(blockEst))
+      // ratio is over FULL name lengths; the pair stream carries keys and
+      // the full-string lev only, so lengths re-attach via two
+      // output-sized joins against the (key, len) projection
+      val lens = base.select(col("key"), length(col("name")).as("len"))
+      pairs
+        .join(lens.select(col("key").as("a_key"), col("len").as("a_len")), "a_key")
+        .join(lens.select(col("key").as("b_key"), col("len").as("b_len")), "b_key")
         .select(col("nk"), col("a_key"), col("b_key"), col("lev"),
           round(lit(1.0) - col("lev").cast("double") /
             greatest(col("a_len"), col("b_len")), 6).as("ratio"))

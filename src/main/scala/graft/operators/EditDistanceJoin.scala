@@ -292,19 +292,24 @@ object EditDistanceJoin {
     * width) — no extra job, and exactly how a warehouse engine makes
     * this call; an order-of-magnitude estimate is enough because both
     * paths are correct and the crossover is soft. Blocked: per-block
-    * sizes aren't in stats, so one cheap count aggregate. k = 1 assumes
+    * sizes aren't in stats, so one cheap count aggregate — or the caller
+    * passes `maxBlockRowsHint` (e.g. table count / block-key cardinality
+    * for a uniformly-assigned key, from the cached catalog stat) and no
+    * job runs at plan time at all. k = 1 assumes
     * equal-length strings on the PassJoin path (selfJoinK1's contract);
     * brute force has no such precondition. */
   def selfJoinAuto(df: DataFrame, keyCol: String, strCol: String, k: Int,
                    blockCols: Seq[String] = Nil,
-                   threshold: Long = BruteForceMaxBlock): DataFrame = {
-    val maxBlock =
+                   threshold: Long = BruteForceMaxBlock,
+                   maxBlockRowsHint: Option[Long] = None): DataFrame = {
+    val maxBlock = maxBlockRowsHint.getOrElse {
       if (blockCols.isEmpty) {
         val stats = df.queryExecution.optimizedPlan.stats
         stats.rowCount.map(_.toLong)
           .getOrElse((stats.sizeInBytes / 40).toLong)
       } else df.groupBy(blockCols.map(col): _*).count()
         .agg(max(col("count"))).head().getLong(0)
+    }
     chooseStrategy(maxBlock, threshold) match {
       case "brute" => bruteForceSelfJoin(df, keyCol, strCol, k, blockCols)
       case _ if k <= 1 => selfJoinK1(df, keyCol, strCol, blockCols)

@@ -60,4 +60,22 @@ class TokenizerSpec extends SparkSpec {
     assert(brute.nonEmpty)
     assert(brute == pass)
   }
+
+  test("blocked k=2: brute and PassJoin auto paths agree on customers (sf0.001)") {
+    // q38's shape: nation-blocked ed<=2 self-join. The auto-selector's two
+    // paths must be value-identical, because the crossover is driven by a
+    // row-count HINT (cached catalog stat) that only moves time — the hash
+    // gate at sf0.01 only ever exercises the brute side, so the PassJoin
+    // side is pinned here.
+    val c = Tables.t(spark, sf, "customer")
+      .select(col("c_nationkey").as("nk"), col("c_custkey"), col("c_name"))
+    def run(hint: Long) = EditDistanceJoin.selfJoinAuto(
+      c, "c_custkey", "c_name", k = 2, blockCols = Seq("nk"),
+      maxBlockRowsHint = Some(hint))
+      .orderBy(col("nk"), col("a_key"), col("b_key")).collect().toSeq
+    val brute = run(1L)                                         // forces brute
+    val pass = run(EditDistanceJoin.BruteForceMaxBlock + 1)     // forces PassJoin
+    assert(brute.nonEmpty)
+    assert(brute == pass)
+  }
 }
