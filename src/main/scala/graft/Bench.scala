@@ -84,7 +84,7 @@ object Bench {
     val useExecConfs = !sys.env.get("GRAFT_NO_EXECCONFS").contains("1")
     def exec(name: String, dir: String): Long = {
       def run() = SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
-      if (useExecConfs) QueryRegistry.withExecConfs(spark, name)(run())
+      if (useExecConfs) QueryRegistry.withExecConfs(spark, name, dir)(run())
       else run()
     }
     ordered.foreach { case (name, _) =>

@@ -26,7 +26,7 @@ object InvProbe {
     graft.plans.GraftExtensions.install(spark)
     val rows = names.map { n =>
       val t0 = System.nanoTime()
-      val df = QueryRegistry.withExecConfs(spark, n) {
+      val df = QueryRegistry.withExecConfs(spark, n, sfDir) {
         QueryRegistry.byName(n).fn(spark, sfDir)
       }
       val boolCols = df.schema.fields
@@ -35,7 +35,7 @@ object InvProbe {
       require(boolCols.nonEmpty, s"$n has no boolean contract columns")
       val agg = df.agg(count(lit(1)).as("n"),
         boolCols.map(c => min(when(col(c), 1L).otherwise(0L)).as(c)): _*)
-      val r = QueryRegistry.withExecConfs(spark, n) { agg.head() }
+      val r = QueryRegistry.withExecConfs(spark, n, sfDir) { agg.head() }
       val secs = (System.nanoTime() - t0) / 1e9
       val verdicts = boolCols
         .map(c => s""""$c":${r.getAs[Long](c)}""").mkString(",")

@@ -41,7 +41,7 @@ object Profile {
     // Per-query execution confs (QueryRegistry.execConfs) wrap
     // build+execute, matching Bench.
     def exec(n: String, dir: String): Long =
-      QueryRegistry.withExecConfs(spark, n) {
+      QueryRegistry.withExecConfs(spark, n, dir) {
         QueryRegistry.byName(n).fn(spark, dir).queryExecution.toRdd.count()
       }
     for (n <- names) {

@@ -14,7 +14,7 @@ object QProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
     val q = QueryRegistry.queries.find(_.name == qname).get
-    QueryRegistry.withExecConfs(spark, qname) {
+    QueryRegistry.withExecConfs(spark, qname, sfDir) {
       q.fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$qname")
     }
     val sql = q.oracle.map(o => "\"" + qname + "\": " + "\"" +

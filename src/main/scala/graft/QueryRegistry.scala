@@ -141,22 +141,58 @@ object QueryRegistry {
   // step (anc > 0 strictly decreases) and cteRecursionLevelLimit (100)
   // stays as the backstop — so the row guard is the one Spark limit that
   // cannot scale with this query; -1 disables it. AQE off as measured
-  // for the fixed-shape tier, but the shuffle width is NOT pinned: the
-  // final groupBy(doc_id) reduce side is corpus-sized, which grows with
-  // sf (the old boundedReduce listing was a misclassification).
+  // for the fixed-shape tier. The shuffle width is neither pinned (r8's
+  // 8 was a misclassification at sf10) nor left at the session default
+  // (r9's fix: ~17 UnionLoop supersteps each re-pay per-task overhead,
+  // 0.68 -> 6.16 s at sf0.1 under the driver's 32-wide session) — it is
+  // DERIVED from the stat cache in dynamicConfs below.
   private val recursionDeep =
     noAqe + ("spark.sql.cteRecursionRowLimit" -> "-1")
 
+  /** rows → static shuffle width: ~250k rows per reduce partition (a few
+    * tens of MB of unsafe rows for the narrow schemas this tier carries),
+    * floored at 8 so tiny inputs still parallelize past per-core skew and
+    * capped at 1024 as a runaway guard. The same measured-crossover
+    * discipline as EditDistanceJoin.selfJoinAuto: the constant is coarse,
+    * but it TRACKS data size, so no scale factor inherits a width sized
+    * for a different one. */
+  def widthForRows(rows: Long, rowsPerPart: Long = 250000L): Int =
+    math.max(8L, math.min(1024L, (rows + rowsPerPart - 1) / rowsPerPart)).toInt
+
+  /** Data-derived execution confs (VERDICT r9 #1/#4): for queries whose
+    * right shuffle width is a function of input SIZE rather than plan
+    * shape, derive it at call time from the memoized catalog statistic
+    * (Tables.cachedRowCount) instead of a hand-classified constant — the
+    * constant tiers above encode cardinality CONTRACTS (enum keys, top-k
+    * clamps) that hold at every sf; this tier encodes widths that must
+    * GROW with sf. Evaluated once per withExecConfs call; the count is
+    * cached per (dir, mtime), so the plan-time cost is a map lookup. */
+  private val dynamicConfs
+      : Map[String, (SparkSession, String) => Map[String, String]] = Map(
+    "q115_recursive_hierarchy" -> { (s, d) =>
+      val docs = Tables.cachedRowCount(s, d, "documents")
+      // chain table rows = Σ_doc (⌊log2 doc_id⌋ + 2) ≈ N·(log2 N + 2)
+      // for the dense id space the harness generates
+      val chain =
+        docs * (64 - java.lang.Long.numberOfLeadingZeros(math.max(docs, 2L)) + 2)
+      recursionDeep +
+        ("spark.sql.shuffle.partitions" -> widthForRows(chain).toString)
+    })
+
   lazy val execConfs: Map[String, Map[String, String]] =
     (boundedReduce.map(_ -> noAqeBounded) ++
-      fixedShape.map(_ -> noAqe)).toMap +
-      ("q115_recursive_hierarchy" -> recursionDeep)
+      fixedShape.map(_ -> noAqe)).toMap
 
   /** Run `body` (which must both BUILD and EXECUTE the query — AQE reads
     * session conf at physical-planning time, i.e. at execution) under the
-    * query's execution confs, restoring prior values after. */
-  def withExecConfs[A](spark: SparkSession, name: String)(body: => A): A = {
-    val confs = execConfs.getOrElse(name, Map.empty)
+    * query's execution confs, restoring prior values after. `dir` feeds
+    * the dynamic (stat-derived) tier; static tiers ignore it. */
+  def withExecConfs[A](spark: SparkSession, name: String, dir: String)(
+      body: => A): A = {
+    val confs = dynamicConfs.get(name) match {
+      case Some(f) => f(spark, dir)
+      case None    => execConfs.getOrElse(name, Map.empty)
+    }
     if (confs.isEmpty) body
     else {
       val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toSeq

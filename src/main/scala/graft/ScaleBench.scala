@@ -54,7 +54,7 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
     def exec(name: String, dir: String): Long =
-      QueryRegistry.withExecConfs(spark, name) {
+      QueryRegistry.withExecConfs(spark, name, dir) {
         QueryRegistry.byName(name).fn(spark, dir).queryExecution.toRdd.count()
       }
     def dropCached(): Unit = {

@@ -95,7 +95,7 @@ object SkewProbe {
       }
       dropCached()
       val tStatic = {
-        def run() = timeIt(QueryRegistry.withExecConfs(spark, n) {
+        def run() = timeIt(QueryRegistry.withExecConfs(spark, n, dir) {
           build().queryExecution.toRdd.count(): Unit
         })
         run(); dropCached(); run()

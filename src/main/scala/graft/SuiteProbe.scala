@@ -14,6 +14,36 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_CPUS (default 32), GRAFT_SHUFFLE_PARTS (default 8x cpus —
   * sf10 shuffles spill at Bench's cpus-sized setting). */
 object SuiteProbe {
+  /** The order-insensitive completion cell, factored out so ScaleSpec can
+    * pin its agreement with the sorted listing at a small sf (VERDICT r9
+    * #8): returns (rowCount, boolean-contract verdicts (1 = all TRUE,
+    * vacuously 1 on empty), per-numeric-column sums rounded to 3dp).
+    * The sums exist to defeat column pruning — without a numeric
+    * aggregate Catalyst inlines the scored column into the sampled
+    * contract branch and the cell stops measuring the kernel. */
+  def orderInsensitiveCell(spark: SparkSession, name: String, sfDir: String)
+      : (Long, Map[String, Long], Map[String, Double]) = {
+    import org.apache.spark.sql.functions.{count, lit, min, when, col, sum, coalesce, round}
+    import org.apache.spark.sql.types.{BooleanType, NumericType}
+    val df = QueryRegistry.byName(name).fn(spark, sfDir)
+    val boolCols = df.schema.fields
+      .filter(_.dataType == BooleanType).map(_.name).toSeq
+    val numCols = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+    val aggs =
+      boolCols.map(b =>
+        coalesce(min(when(col(b), 1L).otherwise(0L)), lit(1L)).as(b)) ++
+      numCols.map(m =>
+        coalesce(round(sum(col(m).cast("double")), 3), lit(0.0))
+          .as(s"sum_$m"))
+    val r = QueryRegistry.withExecConfs(spark, name, sfDir) {
+      df.agg(count(lit(1)).as("n"), aggs: _*).head()
+    }
+    (r.getAs[Long]("n"),
+      boolCols.map(b => b -> r.getAs[Long](b)).toMap,
+      numCols.map(m => m -> r.getAs[Double](s"sum_$m")).toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outJson = if (args.length > 1) Some(args(1)) else None
@@ -48,39 +78,40 @@ object SuiteProbe {
     // re-evaluates the whole join and whose shuffle (~150 GB of pair
     // listing at sf10) exceeds the box's storage — no consumer of a
     // verification byproduct requests a sorted 6.25B-row listing. Its
-    // completion is measured ORDER-INSENSITIVELY: every pair still flows
+    // completion is measured ORDER-INSENSITIVELY: every pair flows
     // through the identical join + kernel dataflow, materialized by an
-    // aggregate (count + conjunction of the jacc_xck contract column,
-    // which must hold or the cell records contract=0) instead of by the
-    // listing sort. The cell is marked so a reader can tell.
+    // aggregate instead of the listing sort. The aggregate SUMS every
+    // numeric output column alongside the count (ADVICE r9: count +
+    // min(bool) alone let Catalyst prune the jaccard column and inline
+    // the kernel into the 1/997-sampled jacc_xck branch — the cell then
+    // measured pair ENUMERATION, not kernel evaluation; sum(jaccard)
+    // keeps the per-pair kernel un-prunable and rides into the artifact
+    // as a value anchor). A violated boolean contract THROWS, so the
+    // cell records an error and counts toward `failed` — it is never
+    // folded into a green total. Empty results are vacuously green
+    // (min over zero rows coalesced to 1). The cell is marked so a
+    // reader can tell.
     val orderInsensitive = Set("q35_ngram_jaccard_blocked")
     var failed = 0
     val rows = names.map { n =>
       val t0 = System.nanoTime()
       val cell = try {
-        val c = if (orderInsensitive(n)) {
-          val df = QueryRegistry.byName(n).fn(spark, sfDir)
-          val boolCols = df.schema.fields
-            .filter(_.dataType == org.apache.spark.sql.types.BooleanType)
-            .map(_.name).toSeq
-          val r = QueryRegistry.withExecConfs(spark, n) {
-            df.agg(org.apache.spark.sql.functions.count(
-                org.apache.spark.sql.functions.lit(1)).as("n"),
-              boolCols.map(b => org.apache.spark.sql.functions.min(
-                org.apache.spark.sql.functions.when(
-                  org.apache.spark.sql.functions.col(b), 1L)
-                  .otherwise(0L)).as(b)): _*).head()
-          }
-          require(boolCols.forall(b => r.getAs[Long](b) == 1L),
+        val (c, sums) = if (orderInsensitive(n)) {
+          val (nRows, verdicts, numSums) = orderInsensitiveCell(spark, n, sfDir)
+          require(verdicts.values.forall(_ == 1L),
             s"$n invariant contract violated: " +
-              boolCols.map(b => s"$b=${r.getAs[Long](b)}").mkString(","))
-          r.getAs[Long]("n")
-        } else QueryRegistry.withExecConfs(spark, n) {
+              verdicts.map { case (b, v) => s"$b=$v" }.mkString(","))
+          (nRows,
+            numSums.toSeq.sortBy(_._1)
+              .map { case (m, v) => s""","sum_$m":$v""" }.mkString)
+        } else (QueryRegistry.withExecConfs(spark, n, sfDir) {
           QueryRegistry.byName(n).fn(spark, sfDir).queryExecution.toRdd.count()
-        }
+        }, "")
         val secs = (System.nanoTime() - t0) / 1e9
         dropCached()
-        val mark = if (orderInsensitive(n)) ""","order_insensitive":true""" else ""
+        val mark =
+          if (orderInsensitive(n)) s"""$sums,"order_insensitive":true"""
+          else ""
         s"""{"rows":$c,"secs":${f3(secs)}$mark}"""
       } catch { case e: Throwable =>
         failed += 1

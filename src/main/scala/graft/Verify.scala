@@ -52,7 +52,7 @@ object Verify {
       else if (skipDone && Files.exists(Paths.get(s"$outDir/$name/_SUCCESS")))
         System.err.println(s"[verify] $name already dumped, skipping")
       else
-      try QueryRegistry.withExecConfs(spark, name) {
+      try QueryRegistry.withExecConfs(spark, name, sfDir) {
         val df = fn(spark, sfDir)
         (if (coalesce1) df.coalesce(1) else df)
           .write.mode("overwrite").parquet(s"$outDir/$name")

@@ -11,7 +11,7 @@ class ExecConfsSpec extends SparkSpec {
   private def rows(name: String, gated: Boolean): Seq[Seq[Any]] = {
     val fn = QueryRegistry.byName(name).fn
     val df =
-      if (gated) QueryRegistry.withExecConfs(spark, name)(fn(spark, sf).collect())
+      if (gated) QueryRegistry.withExecConfs(spark, name, sf)(fn(spark, sf).collect())
       else fn(spark, sf).collect()
     df.map(_.toSeq).toSeq
   }
@@ -33,29 +33,42 @@ class ExecConfsSpec extends SparkSpec {
     val sp = "spark.sql.shuffle.partitions"
     val before = (spark.conf.getOption(aqe), spark.conf.getOption(sp))
     // q01 is in the bounded tier: sets both keys
-    QueryRegistry.withExecConfs(spark, "q01_pricing_summary") {
+    QueryRegistry.withExecConfs(spark, "q01_pricing_summary", sf) {
       assert(spark.conf.get(aqe) == "false")
       assert(spark.conf.get(sp) == "8")
     }
     assert((spark.conf.getOption(aqe), spark.conf.getOption(sp)) == before)
     // exception path must restore too
     intercept[RuntimeException] {
-      QueryRegistry.withExecConfs(spark, "q01_pricing_summary") {
+      QueryRegistry.withExecConfs(spark, "q01_pricing_summary", sf) {
         throw new RuntimeException("boom")
       }
     }
     assert((spark.conf.getOption(aqe), spark.conf.getOption(sp)) == before)
   }
 
-  test("q115's gate lifts the recursion row guard and does not pin width") {
+  test("q115's gate lifts the recursion row guard and derives its width") {
     // The chain table is N*log2(max_id) rows by construction, so the 1M
     // default guard fails at 100x data (first sf10 SuiteProbe pass);
     // termination stays guaranteed by the halving anchor + the level
-    // limit. The reduce side is corpus-sized, so the 8-partition
-    // bounded-reduce pin must NOT apply (it was a misclassification).
-    val confs = QueryRegistry.execConfs("q115_recursive_hierarchy")
-    assert(confs("spark.sql.cteRecursionRowLimit") == "-1")
-    assert(!confs.contains("spark.sql.shuffle.partitions"))
+    // limit. The shuffle width is stat-derived (VERDICT r9 #1): neither
+    // the 8-partition bounded pin (misclassified at sf10) nor the
+    // session default (r9's 0.68 -> 6.16 s superstep-overhead regression
+    // at sf0.1) — observable only through withExecConfs, which routes
+    // q115 through the dynamic tier.
+    assert(!QueryRegistry.execConfs.contains("q115_recursive_hierarchy"))
+    QueryRegistry.withExecConfs(spark, "q115_recursive_hierarchy", sf) {
+      assert(spark.conf.get("spark.sql.cteRecursionRowLimit") == "-1")
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "false")
+      // sf0.01: 500 docs -> ~5.5k chain rows -> the 8-partition floor
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "8")
+    }
+    // the derived width tracks data size: the floor at harness sfs, and
+    // growing (capped) widths once the chain crosses the per-partition
+    // target — the exact monotone contract widthForRows encodes
+    assert(QueryRegistry.widthForRows(5500L) == 8)
+    assert(QueryRegistry.widthForRows(16000000L) == 64)
+    assert(QueryRegistry.widthForRows(Long.MaxValue / 4) == 1024)
   }
 
   test("every execConfs key names a registry query") {

@@ -280,4 +280,36 @@ class ScaleSpec extends SparkSpec {
       .filter(abs(col("n2") - col("n2_src")) > 1e-3).count()
     assert(normDelta == 0, "sign flip must preserve embedding norms")
   }
+
+  test("SuiteProbe's order-insensitive q35 cell agrees with the sorted listing") {
+    // The sf10 completion artifact measures q35 through an aggregate
+    // instead of its presentation sort (SuiteProbe.orderInsensitiveCell).
+    // Pin the bypass against the real query at a small sf: same row
+    // count, same per-column sums, and the contract conjunction — so the
+    // aggregate path can't silently diverge from what Verify hashes
+    // (VERDICT r9 #8). The sums also guard the ADVICE r9 pruning fix:
+    // a cell that skipped kernel evaluation could not reproduce the
+    // full-listing jaccard sum.
+    val (n, verdicts, sums) =
+      SuiteProbe.orderInsensitiveCell(spark, "q35_ngram_jaccard_blocked", sf)
+    val listing = QueryRegistry.byName("q35_ngram_jaccard_blocked")
+      .fn(spark, sf).collect()
+    assert(n == listing.length)
+    assert(verdicts.values.forall(_ == 1L), s"contract columns: $verdicts")
+    def colSum(name: String): Double = {
+      val i = listing.headOption.map(_.fieldIndex(name)).getOrElse(0)
+      val s = listing.iterator.map { r =>
+        r.get(i) match {
+          case l: java.lang.Long    => l.toDouble
+          case d: java.lang.Double  => d.doubleValue
+          case i2: java.lang.Integer => i2.toDouble
+          case x                    => x.toString.toDouble
+        }
+      }.sum
+      math.rint(s * 1000) / 1000
+    }
+    for ((m, v) <- sums)
+      assert(math.abs(colSum(m) - v) <= 1e-6 * (1.0 + math.abs(v)),
+        s"sum over $m: aggregate path $v vs listing ${colSum(m)}")
+  }
 }
