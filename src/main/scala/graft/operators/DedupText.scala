@@ -475,9 +475,12 @@ object DedupText {
     * with the data — parallelism and per-task work then scale with rows,
     * not with the fixed nation count. Both paths are exact (hash-matched
     * oracle + the blocked k=2 agreement test in TokenizerSpec), so the
-    * crossover only moves time, never values. Block size comes from the
-    * cached customer count over the 25-nation uniform assignment — a
-    * catalog-stat read, no plan-time job. */
+    * crossover only moves time, never values. Block size is the REAL
+    * per-nation maximum from the memoized histogram stat
+    * (Tables.cachedMaxBlockRows — r9's rowCount/25 was the mean, which a
+    * skewed assignment could underestimate past the crossover, ADVICE
+    * r9); the one bounded aggregate it costs is paid once per
+    * (dir, mtime) and amortizes to a map lookup. */
   private val q38 = GraftQuery(
     "q38_fuzzy_name_pairs",
     (s, d) => {
@@ -485,7 +488,7 @@ object DedupText {
       val base = t(s, d, "customer").repartition(s.sparkContext.defaultParallelism)
         .select(col("c_nationkey").as("nk"), col("c_custkey").as("key"),
           col("c_name").as("name"))
-      val blockEst = Tables.cachedRowCount(s, d, "customer") / 25
+      val blockEst = Tables.cachedMaxBlockRows(s, d, "customer", "c_nationkey")
       val pairs = EditDistanceJoin.selfJoinAuto(base, "key", "name", k = 2,
         blockCols = Seq("nk"), maxBlockRowsHint = Some(blockEst))
       // ratio is over FULL name lengths; the pair stream carries keys and
