@@ -118,8 +118,11 @@ object EditDistanceJoin {
     * candidate equi-join also keys on the block, so pairs never cross
     * blocks (and the block is part of the output).
     *
-    * Precondition: suffixes (after common-prefix strip) of length >= 3
-    * (each segment non-empty); shorter rows are dropped. */
+    * No length precondition (r10): suffixes shorter than 3 chars (which
+    * can't form three non-empty segments) are paired through a bounded
+    * brute-force side channel — see the shortPairs branch — so the
+    * result is value-identical to bruteForceSelfJoin on ANY corpus and
+    * selfJoinAuto's crossover can never change results. */
   def selfJoinK2(df: DataFrame, keyCol: String, strCol: String,
                  blockCols: Seq[String] = Nil): DataFrame = {
     def lenE(i: Int, l: String) = i match {
@@ -138,10 +141,10 @@ object EditDistanceJoin {
       if (mm.isNullAt(0)) 0
       else mm.getString(0).zip(mm.getString(1)).takeWhile { case (a, b) => a == b }.length
     val bc = blockCols.map(col)
-    val base = df.select(
+    val baseAll = df.select(
       (bc :+ col(keyCol).as("key") :+
         substring(col(strCol), plen + 1, Int.MaxValue).as("str")): _*)
-      .filter(length(col("str")) >= 3)
+    val base = baseAll.filter(length(col("str")) >= 3)
     def withBc(cols: String*): Seq[String] = blockCols ++ cols
     // Both sides key on the fused xxhash64(seg_idx, tlen, seg) INT — see
     // selfJoinK1's rationale (measured 4.7 s -> 4.0 s here at sf0.1; a
@@ -176,10 +179,38 @@ object EditDistanceJoin {
     // levenshtein, then dedup duplicate candidates on INTEGER keys only —
     // the partial aggregate collapses dups map-side, so the only wide
     // shuffle carries (a_key, b_key, lev) ints, never candidate strings.
-    idx.join(probe, blockCols ++ Seq("sig"))
+    val segPairs = idx.join(probe, blockCols ++ Seq("sig"))
       .filter(col("a_key") < col("b_key"))
       .withColumn("lev", levenshtein_k(col("a_str"), col("b_str"), 2).cast("long"))
       .filter(col("lev") >= 0)
+      .select((bc ++ Seq(col("a_key"), col("b_key"), col("lev"))): _*)
+    // Rows whose stripped suffix is shorter than 3 chars can't be
+    // segmented into three non-empty segments. Pre-r10 they were
+    // silently DROPPED (the documented precondition) — so crossing
+    // selfJoinAuto's size crossover could change results on corpora
+    // with degenerate suffixes (ADVICE r9). Instead, pair them
+    // exhaustively: ed <= 2 with len(a) < 3 forces len(b) < 5, so the
+    // partner side is the length-bounded sub-corpus — a broadcast
+    // nested probe over a provably tiny set, never a blowup, and an
+    // empty no-op on well-shaped corpora. least/greatest orients each
+    // pair once; the shared groupBy dedups the both-sides-short
+    // double-count.
+    val shortSide = baseAll.filter(length(col("str")) < 3)
+      .selectExpr(withBc("key AS sa_key", "str AS sa_str"): _*)
+    val partner = baseAll.filter(length(col("str")) < 5)
+      .selectExpr(withBc("key AS sb_key", "str AS sb_str"): _*)
+    val shortJoined =
+      if (blockCols.isEmpty) broadcast(shortSide).crossJoin(partner)
+      else broadcast(shortSide).join(partner, blockCols)
+    val shortPairs = shortJoined
+      .filter(col("sa_key") =!= col("sb_key"))
+      .withColumn("lev", levenshtein_k(col("sa_str"), col("sb_str"), 2).cast("long"))
+      .filter(col("lev") >= 0)
+      .select((bc ++ Seq(
+        least(col("sa_key"), col("sb_key")).as("a_key"),
+        greatest(col("sa_key"), col("sb_key")).as("b_key"),
+        col("lev"))): _*)
+    segPairs.union(shortPairs)
       .groupBy((bc :+ col("a_key") :+ col("b_key")): _*)
       .agg(min(col("lev")).as("lev"))
   }

@@ -252,6 +252,39 @@ class QueriesSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("PassJoin k=2 pairs degenerate short-suffix rows instead of dropping them") {
+    import spark.implicits._
+    // ADVICE r9: rows whose post-prefix-strip suffix is < 3 chars can't
+    // form three non-empty segments; pre-r10 selfJoinK2 DROPPED them, so
+    // selfJoinAuto's size crossover silently changed results on corpora
+    // with degenerate suffixes. Corpus: shared literal prefix + suffixes
+    // of length 0..6 (incl. empty and duplicates) — short rows must pair
+    // with short and near-short partners, with exact lev values.
+    val rnd = new scala.util.Random(41)
+    val strs = (0L until 200L).map { i =>
+      (i, "DOC:" + (0 until rnd.nextInt(7)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    }
+    val df = strs.toDF("k", "s")
+    val a = df.select(col("k").as("ak"), col("s").as("an"))
+    val b = df.select(col("k").as("bk"), col("s").as("bn"))
+    val brute = a.crossJoin(b).filter(col("ak") < col("bk"))
+      .filter(levenshtein(col("an"), col("bn")) <= 2)
+      .select(col("ak"), col("bk"), levenshtein(col("an"), col("bn")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val pass = graft.operators.EditDistanceJoin.selfJoinK2(df, "k", "s")
+      .select("a_key", "b_key", "lev").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pass == brute,
+      s"missing=${brute.keySet -- pass.keySet} extra=${pass.keySet -- brute.keySet}")
+    // the corpus must actually exercise the short-suffix channel: pairs
+    // where at least one side's suffix is sub-segmentable
+    val lens = strs.map { case (k, s) => k -> (s.length - 4) }.toMap
+    assert(brute.keys.exists { case (x, y) => lens(x) < 3 || lens(y) < 3 },
+      "no short-suffix pairs — test would not cover the brute side channel")
+    assert(brute.keys.exists { case (x, y) => lens(x) < 3 && lens(y) >= 3 },
+      "no short-long pairs — cross-class channel uncovered")
+  }
+
   test("symmetric-delete join is lossless incl. shared prefixes and dup strings") {
     import spark.implicits._
     // shared literal prefix (exercises the common-prefix strip), short
