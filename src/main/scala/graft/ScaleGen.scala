@@ -248,6 +248,8 @@ object ScaleGen {
               if (perm) hash(col("rep"), pos, lit(3))
               else hash(col("rep"), pos), lit(2)) === 0, x)
               .otherwise(-x)))))
-    println(s"""{"scalegen":"done","src":"$src","out":"$out","reps":$reps,"skew":$skew,"affine":$affine}""")
+    // perm rides in the provenance line too (ADVICE r9: without it a
+    // perm-decade artifact was indistinguishable from a plain rotation)
+    println(s"""{"scalegen":"done","src":"$src","out":"$out","reps":$reps,"skew":$skew,"affine":$affine,"perm":$perm}""")
   }
 }
