@@ -303,8 +303,15 @@ object Bench {
           }.toMap)
       } catch { case _: Throwable => None }
     val quietBlock = quietRef.map { ref =>
+      // Ratio floor (r10, VERDICT r9 #6): exclude a pair only when BOTH
+      // sides ran under 50 ms — sub-noise on both sides carries no
+      // signal. The old both-sides-must-clear rule also dropped the
+      // asymmetric pairs (one side fast, one slow), which are exactly
+      // the per-query anomalies the comparison exists to surface: r9's
+      // q127 (ref 47 ms, run 400 ms) was excluded as "ref_fast" by the
+      // very inflation that made it interesting.
       val shared = results.filter { case (n, t) =>
-        t >= 0.05 && ref.get(n).exists(_ >= 0.05) }
+        t >= 0 && ref.contains(n) && (t >= 0.05 || ref(n) >= 0.05) }
       // name the non-shared rows (VERDICT r8 #8): a reader must be able
       // to tell "skipped as under the 50 ms ratio floor" from "missing
       // from the reference snapshot entirely"
@@ -314,8 +321,7 @@ object Bench {
           // FAILED here, never as "ran under the 50 ms floor"
           val why = if (t < 0) "failed"
             else if (!ref.contains(n)) "no_ref"
-            else if (t < 0.05 && ref(n) < 0.05) "both_fast"
-            else if (t < 0.05) "run_fast" else "ref_fast"
+            else "both_fast"
           s""""$n":"$why""""
       }.mkString("{", ",", "}")
       if (shared.isEmpty) s""""quiet_ref":{"shared":0,"excluded":$excluded}"""
