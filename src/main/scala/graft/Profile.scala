@@ -15,8 +15,12 @@ object Profile {
     }
     val sfDir = opt("--sf", "/root/testdata/sf0.1")
     val iters = opt("--iters", "2").toInt
+    // same env knobs as SuiteProbe so a single query can be profiled
+    // under the exact confs an artifact run used (cpus, session width)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", cpus)
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")

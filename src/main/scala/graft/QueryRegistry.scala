@@ -177,6 +177,24 @@ object QueryRegistry {
         docs * (64 - java.lang.Long.numberOfLeadingZeros(math.max(docs, 2L)) + 2)
       recursionDeep +
         ("spark.sql.shuffle.partitions" -> widthForRows(chain).toString)
+    },
+    // q154's superstep cost is per-superstep × width (the q115 lesson at
+    // the other end of the scale): at sf10 the context-global 8×cpus=256
+    // ran 33.5 s in a fresh JVM vs 23.9/24.7 s at width 32/64, and at
+    // sf0.1 width 8 edges out 32 — measured, widths 32/64/128/256
+    // bracketed. The driver statistic is the co-trading edge list,
+    // ~2 × lineitem rows at every sf (distinct lanes measured 0.98 ×
+    // lineitem at sf0.1/1/10); ~4M edge rows per task ≈ 60-130 MB of
+    // (long,long) shuffle input lands the measured optimum at each
+    // decade (8 / 8 / 30) and keeps growing linearly past it. AQE stays
+    // ON (runtime-variable plan: the conditional broadcast flips to
+    // shuffle-keyed past 100k nodes) — the derived width only caps the
+    // per-superstep task count AQE's coalescing cannot recover on the
+    // map side.
+    "q154_pagerank_customer" -> { (s, d) =>
+      val edges = 2L * Tables.cachedRowCount(s, d, "lineitem")
+      Map("spark.sql.shuffle.partitions" ->
+        widthForRows(edges, rowsPerPart = 4000000L).toString)
     })
 
   lazy val execConfs: Map[String, Map[String, String]] =

@@ -20,7 +20,8 @@ class ExecConfsSpec extends SparkSpec {
   // (AQE off), one ungated control, and the recursion-gated q115 —
   // results must not depend on the gate
   for (name <- Seq("q01_pricing_summary", "q20_vector_topk",
-      "q79_passjoin_k2_varlen", "q115_recursive_hierarchy")) {
+      "q79_passjoin_k2_varlen", "q115_recursive_hierarchy",
+      "q154_pagerank_customer")) {
     test(s"$name: gate on == gate off, row for row") {
       // collect() inside withExecConfs so AQE reads the gated conf at
       // physical planning time, same as Bench/Verify
@@ -69,6 +70,24 @@ class ExecConfsSpec extends SparkSpec {
     assert(QueryRegistry.widthForRows(5500L) == 8)
     assert(QueryRegistry.widthForRows(16000000L) == 64)
     assert(QueryRegistry.widthForRows(Long.MaxValue / 4) == 1024)
+  }
+
+  test("q154's width derives from the edge-list statistic, AQE kept on") {
+    // the iterative-superstep family's width must TRACK the co-trading
+    // edge list (~2x lineitem rows): measured optima 8 / 8 / 30 at
+    // sf0.1 / sf1 / sf10 under the 4M-rows-per-task target, vs 33.5 s
+    // at the context-global 256 against 23.9 s at 32 for sf10
+    assert(!QueryRegistry.execConfs.contains("q154_pagerank_customer"))
+    QueryRegistry.withExecConfs(spark, "q154_pagerank_customer", sf) {
+      // sf0.01: 60k lineitem -> 120k edges -> the 8-partition floor;
+      // AQE must stay enabled (conditional broadcast re-plans at runtime)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "8")
+      assert(spark.conf.getOption("spark.sql.adaptive.enabled")
+        .forall(_ == "true"))
+    }
+    // the decade widths the measurements picked
+    assert(QueryRegistry.widthForRows(2L * 600000L, 4000000L) == 8)
+    assert(QueryRegistry.widthForRows(2L * 60000000L, 4000000L) == 30)
   }
 
   test("every execConfs key names a registry query") {
