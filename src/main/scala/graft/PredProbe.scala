@@ -96,6 +96,12 @@ object PredProbe {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
     }
+    // Build-time confs only: the aggregates/collects the checks hang off
+    // the returned frame execute under session confs, NOT the per-query
+    // gate (AQE re-reads conf at physical planning). That is deliberate
+    // and safe here — the gate changes physical execution only, never
+    // values (the ExecConfsSpec parity contract), and PredProbe checks
+    // VALUES; its secs are not comparable to Bench/SuiteProbe cells.
     def runQ(name: String, dir: String): DataFrame =
       QueryRegistry.withExecConfs(spark, name, dir) {
         QueryRegistry.byName(name).fn(spark, dir)

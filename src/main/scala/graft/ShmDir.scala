@@ -30,9 +30,17 @@ object ShmDir {
     if (!base.isDirectory) return System.getProperty("java.io.tmpdir")
     Option(base.listFiles).getOrElse(Array.empty).foreach { f =>
       val n = f.getName
+      // Sweep dead-PID dirs of EVERY graft tool, not just this prefix:
+      // the prefixes partition by tool (bench/scale/suite/...), so a
+      // same-prefix-only sweep left a killed ScaleBench's 44 GB
+      // graft-scale dir resident across sessions until the NEXT
+      // ScaleBench — tmpfs pages that OOM-killed an unrelated sf10
+      // SuiteProbe on a box that had the room without them. Liveness
+      // stays PID-exact; the name gate keeps other apps' dirs untouched.
       val stale =
-        n == prefix || (n.startsWith(prefix + "-") &&
-          n.stripPrefix(prefix + "-").toLongOption
+        n == prefix || (n.startsWith("graft-") &&
+          n.lastIndexOf('-') > 0 &&
+          n.drop(n.lastIndexOf('-') + 1).toLongOption
             .exists(pid => !ProcessHandle.of(pid).isPresent))
       if (stale) rmTree(f)
     }
