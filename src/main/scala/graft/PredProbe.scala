@@ -285,6 +285,13 @@ object PredProbe {
         case Array((n1, r1), (n2, r2)) => r1 > r2 || (r1 == r2 && n1 < n2)
         case _ => true
       }
+      // resolution marker: at 1000x (165M nodes) the integer mass
+      // quantizes to ~6060 units/node and the whole top-100 can TIE on
+      // one pr value — the family check then passes vacuously (every
+      // singleton family sits at the boundary pr). distinct_pr makes
+      // that visible in the artifact instead of reading as 100 verified
+      // cohorts; the sort contract (ties by node asc) is still real.
+      val distinctPr = rows.map(_._2).distinct.length
       // isomorphic replicas must rank their base nodes identically: every
       // (base, pr_units) family is complete (all `reps` images) except
       // possibly families cut by the top-100 boundary, which the sort
@@ -300,7 +307,8 @@ object PredProbe {
       }.toSeq
       val ok = sortOk && broken.isEmpty && rows.length == 100
       s"""{"query":"$name","kind":"cohort_symmetry","rows":${rows.length},""" +
-        s""""families":${fams.size},"sort_ok":$sortOk,""" +
+        s""""families":${fams.size},"distinct_pr":$distinctPr,""" +
+        s""""sort_ok":$sortOk,""" +
         s""""broken_families":{${broken.mkString(",")}},"ok":$ok}"""
     }
 
@@ -310,11 +318,19 @@ object PredProbe {
       val s0 = runQ(name, smallDir).head(); dropCached()
       val b0 = runQ(name, bigDir).head(); dropCached()
       def g(r: Row, c: String) = r.getAs[Long](c)
-      // replica shingle SETS are disjoint (no shared words across the
-      // ciphers), so exact union/intersection scale by exactly `reps` up
-      // to 48-bit md5 birthday collisions — hence the 1e-4 relative gate
-      def near(m: Long, p: Long): Boolean =
-        math.abs(m - p) <= math.max(2L, p / 10000)
+      // Collisions can only MERGE hashes, so the measured exact counts
+      // sit AT OR BELOW reps x small — a measured excess would be an
+      // engine error and fails one-sidedly. The allowed deficit covers
+      // two data effects measured across the decades: 48-bit md5
+      // birthday collisions (~n^2/2^49: 75 of 2.7M at sf10, ~1300 of
+      // 27M at sf100) and, on the PERM decade only, genuine
+      // cross-replica shingle coincidences (a seeded random permutation
+      // can alias short vocabulary words; measured 4715 of 27M at
+      // sf100) — hence 5e-4 relative, one-sided.
+      def near(m: Long, p: Long): Boolean = {
+        val d = p - m
+        d >= 0 && d <= math.max(2L, p / 2000)
+      }
       val pu = reps * g(s0, "exact_union"); val pi = reps * g(s0, "exact_inter")
       val ok = near(g(b0, "exact_union"), pu) && near(g(b0, "exact_inter"), pi) &&
         b0.getAs[Boolean]("union_ok") && b0.getAs[Boolean]("inter_ok") &&
@@ -379,8 +395,14 @@ object PredProbe {
         (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"),
           r.getAs[Long]("score_micro"))).toSeq
       dropCached()
-      val ok = meas == pred && nB == reps * nS && sdlB == reps * sdlS &&
-        terms.forall(tm => dfB.getOrElse(tm, 0L) == dfS.getOrElse(tm, 0L))
+      // df equality across the decade is NOT part of ok: it holds on the
+      // rotation/affine decades (ciphers share no words) but a PERM
+      // decade's seeded random permutation can alias a short vocabulary
+      // word onto a query term (measured at sf100: df("dup") 250 ->
+      // 4124). The independent recomputation measures df at the big
+      // scale itself, so the top-20 check stays exact either way; the
+      // df pairs ride along as data provenance.
+      val ok = meas == pred && nB == reps * nS && sdlB == reps * sdlS
       s"""{"query":"$name","kind":"independent_recompute",""" +
         s""""n":[$nB,${reps * nS}],"sum_dl":[$sdlB,${reps * sdlS}],""" +
         s""""df":{${terms.map(tm => s""""$tm":[${dfB.getOrElse(tm, 0L)},${
