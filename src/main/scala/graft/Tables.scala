@@ -109,16 +109,39 @@ object Tables {
     * (bench timed passes, repeated invocations) pays a map lookup, and a
     * regenerated snapshot can never serve a stale histogram. */
   def cachedMaxBlockRows(spark: SparkSession, dir: String, name: String,
-                         keyCol: String): Long = {
+                         keyCol: String): Long =
+    cachedMaxBlockRows(spark, dir, name, Seq(keyCol))
+
+  /** Composite-key variant — the histogram max for a multi-column blocking
+    * key (q46/q77 block on (p_brand, p_type)). Same memoization contract. */
+  def cachedMaxBlockRows(spark: SparkSession, dir: String, name: String,
+                         keyCols: Seq[String]): Long = {
     val ver = new java.io.File(s"$dir/$name.parquet").lastModified
     countCache.computeIfAbsent(
       (spark.sparkContext.applicationId + "/" + System.identityHashCode(spark),
-        s"$dir@$ver", s"$name#maxblock($keyCol)"),
+        s"$dir@$ver", s"$name#maxblock(${keyCols.mkString(",")})"),
       _ => java.lang.Long.valueOf {
-        val r = t(spark, dir, name).groupBy(keyCol).count()
+        val r = t(spark, dir, name).groupBy(keyCols.map(col): _*).count()
           .agg(max(col("count"))).head()
         if (r.isNullAt(0)) 0L else r.getLong(0)
       }).longValue()
+  }
+
+  /** Memoized NDV statistic for one column — the catalog distinct-count a
+    * real engine keeps per column (here exact, not an HLL estimate: one
+    * bounded aggregate on an immutable input, memoized like the others).
+    * Drives DistinctPairJoin's crossover: a kernel self-join over a
+    * dictionary-shaped column (NDV ≪ rows) is evaluated once per distinct
+    * value pair and expanded, instead of once per row pair. */
+  def cachedDistinctCount(spark: SparkSession, dir: String, name: String,
+                          colName: String): Long = {
+    val ver = new java.io.File(s"$dir/$name.parquet").lastModified
+    countCache.computeIfAbsent(
+      (spark.sparkContext.applicationId + "/" + System.identityHashCode(spark),
+        s"$dir@$ver", s"$name#ndv($colName)"),
+      _ => java.lang.Long.valueOf(
+        t(spark, dir, name).select(col(colName)).distinct().count()
+      )).longValue()
   }
 
   /** Cast to DECIMAL(18,s) — exact, associative sums on both engines. */

@@ -188,28 +188,20 @@ object EditDistanceJoin {
     // segmented into three non-empty segments. Pre-r10 they were
     // silently DROPPED (the documented precondition) — so crossing
     // selfJoinAuto's size crossover could change results on corpora
-    // with degenerate suffixes (ADVICE r9). Instead, pair them
-    // exhaustively: ed <= 2 with len(a) < 3 forces len(b) < 5, so the
-    // partner side is the length-bounded sub-corpus — a broadcast
-    // nested probe over a provably tiny set, never a blowup, and an
-    // empty no-op on well-shaped corpora. least/greatest orients each
-    // pair once; the shared groupBy dedups the both-sides-short
-    // double-count.
-    val shortSide = baseAll.filter(length(col("str")) < 3)
-      .selectExpr(withBc("key AS sa_key", "str AS sa_str"): _*)
-    val partner = baseAll.filter(length(col("str")) < 5)
-      .selectExpr(withBc("key AS sb_key", "str AS sb_str"): _*)
-    val shortJoined =
-      if (blockCols.isEmpty) broadcast(shortSide).crossJoin(partner)
-      else broadcast(shortSide).join(partner, blockCols)
-    val shortPairs = shortJoined
-      .filter(col("sa_key") =!= col("sb_key"))
-      .withColumn("lev", levenshtein_k(col("sa_str"), col("sb_str"), 2).cast("long"))
-      .filter(col("lev") >= 0)
-      .select((bc ++ Seq(
-        least(col("sa_key"), col("sb_key")).as("a_key"),
-        greatest(col("sa_key"), col("sb_key")).as("b_key"),
-        col("lev"))): _*)
+    // with degenerate suffixes (ADVICE r9). Pair them through the
+    // symmetric-delete rung instead: ed <= 2 with len(a) < 3 forces
+    // len(b) < 5, so EVERY pair touching a short suffix lives inside the
+    // len < 5 sub-corpus, and selfJoinSymDeleteK2 over that subset is a
+    // hash-partitioned signature equi-join — no driver broadcast, no
+    // nested loop, so a corpus DOMINATED by short suffixes (the r10
+    // broadcast cross-join's degenerate case, ADVICE r10) degrades to the
+    // algorithm DESIGNED for short strings rather than to a quadratic
+    // blowup. Deletion signatures on n < 5 cost <= C(4,<=2) = 11 sigs per
+    // row, and the subset is empty on well-shaped corpora. Pairs with
+    // both sides in [3, 5) are also found by segPairs — same (keys, lev)
+    // row, collapsed by the shared min-groupBy below.
+    val shortPairs = selfJoinSymDeleteK2(
+      baseAll.filter(length(col("str")) < 5), "key", "str", blockCols)
     segPairs.union(shortPairs)
       .groupBy((bc :+ col("a_key") :+ col("b_key")): _*)
       .agg(min(col("lev")).as("lev"))

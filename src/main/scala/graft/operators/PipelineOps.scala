@@ -73,31 +73,53 @@ object PipelineOps {
     "q46_ratcliff_fuzzy_pairs",
     (s, d) => {
       // blocking key (brand, type) bounds the quadratic pair count —
-      // the same blocked-self-join shape as the reference's year band
+      // the same blocked-self-join shape as the reference's year band.
+      // The (brand, type) enum does NOT grow with data, so past the
+      // crossover (big blocks × dictionary-shaped p_name) the kernel runs
+      // once per distinct ORIENTED name pair and expands back to row
+      // pairs — value-identical by construction (DistinctPairJoin),
+      // pinned by DistinctPairJoinSpec's both-paths agreement test.
       val p = t(s, d, "part")
-      // spread the quadratic ratio scan across cores (single-split input).
-      // lower() is hoisted into the per-ROW projection: inside the join
-      // condition it would allocate two lowered copies per PAIR — 13.4B
-      // pairs at sf10 made that the dominant cost of the whole query.
-      val a = p.repartition(s.sparkContext.defaultParallelism)
-        .select(col("p_brand"), col("p_type"), col("p_partkey").as("a_key"),
-        lower(col("p_name")).as("a_nl"))
-      val b = p.select(col("p_brand"), col("p_type"), col("p_partkey").as("b_key"),
-        lower(col("p_name")).as("b_nl"))
-      a.join(b, Seq("p_brand", "p_type"))
-        .filter(col("a_key") < col("b_key"))
-        // The literal-threshold filter matches StringRatioBoundRule's
-        // `string_ratio >= lit` pattern, so the optimizer swaps in
-        // StringRatioGte and difflib's real_quick/quick bounds refute most
-        // pairs without the O(n·m) DP; survivors recompute the full ratio.
-        .filter(string_ratio(col("a_nl"), col("b_nl")) >= 0.85)
-        .withColumn("ratio", string_ratio(col("a_nl"), col("b_nl")))
-        .select(col("p_brand"), col("a_key"), col("b_key"), col("ratio"))
-        // survivors are output-sized; materialize them ONCE before the
-        // global sort — the range partitioner's sampling pass otherwise
-        // re-executes the whole blocked quadratic scan (join INPUTS sit in
-        // shuffle files, but pair generation + the ratio kernel re-run)
-        .localCheckpoint()
+      val expand = DistinctPairJoin.expansionWins(
+        Tables.cachedDistinctCount(s, d, "part", "p_name"),
+        Tables.cachedMaxBlockRows(s, d, "part", Seq("p_brand", "p_type")))
+      val surv =
+        if (expand) {
+          val rows = p.select(col("p_brand"), col("p_type"),
+            col("p_partkey"), lower(col("p_name")).as("nl"))
+          DistinctPairJoin.expandBlockedSelfJoin(rows, "p_partkey", "nl",
+              Seq("p_brand", "p_type")) { pairs =>
+            // same kernel expressions as the row-pair branch below, so the
+            // StringRatioBoundRule swap and the recomputed ratio are
+            // identical per string pair
+            pairs.filter(string_ratio(col("a_str"), col("b_str")) >= 0.85)
+              .withColumn("ratio", string_ratio(col("a_str"), col("b_str")))
+          }.select(col("p_brand"), col("a_key"), col("b_key"), col("ratio"))
+        } else {
+          // spread the quadratic ratio scan across cores (single-split
+          // input). lower() is hoisted into the per-ROW projection: inside
+          // the join condition it would allocate two lowered copies per
+          // PAIR — 13.4B pairs at sf10 made that the dominant cost of the
+          // whole query.
+          val a = p.repartition(s.sparkContext.defaultParallelism)
+            .select(col("p_brand"), col("p_type"), col("p_partkey").as("a_key"),
+            lower(col("p_name")).as("a_nl"))
+          val b = p.select(col("p_brand"), col("p_type"), col("p_partkey").as("b_key"),
+            lower(col("p_name")).as("b_nl"))
+          a.join(b, Seq("p_brand", "p_type"))
+            .filter(col("a_key") < col("b_key"))
+            // The literal-threshold filter matches StringRatioBoundRule's
+            // `string_ratio >= lit` pattern, so the optimizer swaps in
+            // StringRatioGte and difflib's real_quick/quick bounds refute most
+            // pairs without the O(n·m) DP; survivors recompute the full ratio.
+            .filter(string_ratio(col("a_nl"), col("b_nl")) >= 0.85)
+            .withColumn("ratio", string_ratio(col("a_nl"), col("b_nl")))
+            .select(col("p_brand"), col("a_key"), col("b_key"), col("ratio"))
+        }
+      // survivors are output-sized; materialize them ONCE before the
+      // global sort — the range partitioner's sampling pass otherwise
+      // re-executes the whole pair generation + kernel
+      surv.localCheckpoint()
         .orderBy(col("p_brand"), col("a_key"), col("b_key"))
     },
     Some("""WITH RECURSIVE
@@ -186,28 +208,48 @@ object PipelineOps {
       // and the filter is strictly > 0.7.
       val g = p.agg(max(length(col("p_name"))).cast("int")).head().getInt(0)
       val bound = math.max(1, (3 * g - 1) / 10)
-      // lower() hoisted to the per-ROW projection (see q46: per-PAIR
-      // lowering allocated two copies per candidate — the dominant cost
-      // at sf10's 13.4B pairs); length(lower(x)) = length(x), so the sim
-      // denominator reads the lowered column's length directly.
-      val a = p.repartition(s.sparkContext.defaultParallelism)
-        .select(col("p_brand"), col("p_type"), col("p_partkey").as("a_key"),
-          lower(col("p_name")).as("a_nl"))
-      val b = p.select(col("p_brand"), col("p_type"), col("p_partkey").as("b_key"),
-        lower(col("p_name")).as("b_nl"))
-      a.join(b, Seq("p_brand", "p_type"))
-        .filter(col("a_key") < col("b_key"))
+      // dictionary-column escape hatch, same crossover as q46: the
+      // (brand, type) block key is scale-invariant, so at big scale the
+      // banded-levenshtein kernel runs over distinct name pairs and the
+      // survivors expand back to row pairs (DistinctPairJoin).
+      val expand = DistinctPairJoin.expansionWins(
+        Tables.cachedDistinctCount(s, d, "part", "p_name"),
+        Tables.cachedMaxBlockRows(s, d, "part", Seq("p_brand", "p_type")))
+      def kernel(df: org.apache.spark.sql.DataFrame,
+                 aCol: String, bCol: String) = df
         .withColumn("lev",
           graft.functions.expressions.LevenshteinK
-            .levenshtein_k(col("a_nl"), col("b_nl"), bound))
+            .levenshtein_k(col(aCol), col(bCol), bound))
         .filter(col("lev") >= 0)
         .withColumn("sim", lit(1.0) - col("lev").cast("double") /
-          greatest(length(col("a_nl")), length(col("b_nl"))))
+          greatest(length(col(aCol)), length(col(bCol))))
         .filter(col("sim") > 0.7)
-        .select(col("p_brand"), col("a_key"), col("b_key"), col("sim"))
-        // output-sized survivor set, materialized once before the global
-        // sort (same rationale as q46's checkpoint)
-        .localCheckpoint()
+      val surv =
+        if (expand) {
+          val rows = p.select(col("p_brand"), col("p_type"),
+            col("p_partkey"), lower(col("p_name")).as("nl"))
+          DistinctPairJoin.expandBlockedSelfJoin(rows, "p_partkey", "nl",
+              Seq("p_brand", "p_type")) { pairs =>
+            kernel(pairs, "a_str", "b_str")
+          }.select(col("p_brand"), col("a_key"), col("b_key"), col("sim"))
+        } else {
+          // lower() hoisted to the per-ROW projection (see q46: per-PAIR
+          // lowering allocated two copies per candidate — the dominant cost
+          // at sf10's 13.4B pairs); length(lower(x)) = length(x), so the sim
+          // denominator reads the lowered column's length directly.
+          val a = p.repartition(s.sparkContext.defaultParallelism)
+            .select(col("p_brand"), col("p_type"), col("p_partkey").as("a_key"),
+              lower(col("p_name")).as("a_nl"))
+          val b = p.select(col("p_brand"), col("p_type"), col("p_partkey").as("b_key"),
+            lower(col("p_name")).as("b_nl"))
+          kernel(
+            a.join(b, Seq("p_brand", "p_type"))
+              .filter(col("a_key") < col("b_key")), "a_nl", "b_nl")
+            .select(col("p_brand"), col("a_key"), col("b_key"), col("sim"))
+        }
+      // output-sized survivor set, materialized once before the global
+      // sort (same rationale as q46's checkpoint)
+      surv.localCheckpoint()
         .orderBy(col("sim").desc, col("a_key"), col("b_key"))
     },
     Some("""SELECT p_brand, a_key, b_key, sim FROM (
