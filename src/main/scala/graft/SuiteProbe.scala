@@ -71,7 +71,20 @@ object SuiteProbe {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
     }
+    // GRAFT_EXCLUDE=name=reason;name=reason — scope-outs recorded IN the
+    // artifact (VERDICT r10 #8: the q46/q77/q79 sf100 exclusions lived in
+    // round-notes prose; the artifact should describe itself). Unknown
+    // names fail loudly rather than silently excluding nothing;
+    // ';'-separated so reasons can carry prose commas.
+    val excluded: Map[String, String] = sys.env.get("GRAFT_EXCLUDE")
+      .map(_.split(";").filter(_.nonEmpty).map { e =>
+        val Array(n, r) = e.split("=", 2)
+        require(QueryRegistry.queries.exists(_.name == n),
+          s"GRAFT_EXCLUDE names unknown query: $n")
+        n -> r
+      }.toMap).getOrElse(Map.empty)
     val names = QueryRegistry.queries.map(_.name).sorted
+      .filterNot(excluded.contains)
     // q35 is the blocked-quadratic verify rung (6.25B output rows at
     // sf10). Its trailing total-order sort is oracle-presentation
     // machinery (house rule T5): a global range-sort whose sampling pass
@@ -125,9 +138,13 @@ object SuiteProbe {
       s""""$n":$cell"""
     }
     val total = rows.mkString(",")
+    def js(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val exJson = excluded.toSeq.sortBy(_._1)
+      .map { case (n, r) => s""""${js(n)}":"${js(r)}"""" }.mkString(",")
     val line = s"""{"metric":"suite_completion","sf_dir":"$sfDir",""" +
       s""""cpus":$cpus,"shuffle_partitions":$shuffleParts,""" +
-      s""""queries":${names.size},"failed":$failed,"per_query":{$total}}"""
+      s""""queries":${names.size},"failed":$failed,""" +
+      s""""excluded":{$exJson},"per_query":{$total}}"""
     println(s"SUITEJSON $line")
     outJson.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
