@@ -83,8 +83,15 @@ object SuiteProbe {
           s"GRAFT_EXCLUDE names unknown query: $n")
         n -> r
       }.toMap).getOrElse(Map.empty)
+    // GRAFT_ONLY=name,name — subset re-runs (same machinery, fewer
+    // queries): used to re-measure cells after a fix without paying the
+    // full multi-hour suite again; the merged artifact keeps per-cell
+    // provenance one-pass-each either way.
+    val only = sys.env.get("GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = QueryRegistry.queries.map(_.name).sorted
       .filterNot(excluded.contains)
+      .filter(n => only.forall(_.contains(n)))
     // q35 is the blocked-quadratic verify rung (6.25B output rows at
     // sf10). Its trailing total-order sort is oracle-presentation
     // machinery (house rule T5): a global range-sort whose sampling pass

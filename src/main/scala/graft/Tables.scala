@@ -164,26 +164,29 @@ object Tables {
     * rational Σ/10^s — so the DuckDB oracle twins keep their
     * sum(DECIMAL) formulation: two different exact-arithmetic routes to
     * the same double are exactly the cross-engine contract the suite
-    * hash-checks. Headroom: the long accumulator is exact while
-    * |Σ·10^s| < 2^63 and the double emission is single-rounded while
-    * |Σ·10^s| < 2^53 (~9.0e15). The margin SHRINKS with s: at s=2 that
-    * is ~9e13 currency units (>1000× this suite's largest sf1 sum), but
-    * at s=4 only ~9e11 units — single-digit multiples above sf1
-    * revenue-style group sums, i.e. growing past ~sf8 would cross it.
-    * So the bound is ENFORCED, not assumed: the per-group result carries
-    * an assert_true that fails the query loudly the moment a sum leaves
-    * the single-rounding range (negligible cost — evaluated once per
-    * output group, post-aggregation), at which point the remedy is
-    * partial-summing into DECIMAL per partition. */
+    * hash-checks.
+    *
+    * Emission goes through one exact DECIMAL division (per OUTPUT group,
+    * never in the per-row hot path): r10's `cast(double)/10^s` emission
+    * was only single-rounded while |Σ·10^s| < 2^53, and the s=4 revenue
+    * sums CROSSED that at the sf100 suite — the guard fired exactly as
+    * its scaladoc predicted ("growing past ~sf8 would cross it"). The
+    * decimal quotient is exact (≤ s fractional digits at scale ≥ 6) and
+    * its double cast is the same correctly-rounded value the old path
+    * produced below 2^53 — graded hashes unchanged, envelope now the
+    * long accumulator's own 2^63 (ANSI mode throws loudly on true
+    * accumulator overflow; the assert keeps a margin below it). Past
+    * THAT the remedy remains decimal partial sums. */
   def dsum(c: Column, s: Int = 2): Column = {
     val raw = sum(fixp(c, s))
     val guarded = when(
       assert_true(
-        abs(raw) < lit(9007199254740992L),
-        lit(s"dsum overflow: |sum*10^$s| >= 2^53 — switch to decimal partial sums")
+        abs(raw) < lit(9000000000000000000L),
+        lit(s"dsum overflow: |sum*10^$s| within 2% of 2^63 — switch to decimal partial sums")
       ).isNull,
       raw)
-    (guarded.cast("double") / lit(math.pow(10, s)))
+    (guarded.cast("decimal(38,0)") / lit(math.pow(10, s).toLong))
+      .cast("double")
   }
 
   /** Timestamp → canonical string, second precision. */

@@ -216,9 +216,18 @@ object StatsOps {
       val w = Window.orderBy(col("units"), col("o_custkey"))
       spend
         .withColumn("i", row_number().over(w).cast("long"))
+        // ranked_sum accumulates in DECIMAL: Σ i·units ≈ n²/2 · avg_units
+        // crossed 2^63 at the sf100 suite (~3e19 at 20M customers —
+        // ANSI long overflow, caught loudly). The per-row product i·units
+        // stays a long (≤ ~1.2e13); only the dimension-sized aggregate
+        // pays decimal. The downstream integral divides return BIGINT
+        // (2·ranked_sum div n ≈ n·avg_units ≈ 3e12 at sf100, and the
+        // ·1e6 staging keeps every later intermediate ≤ ~3e18 — ANSI
+        // throws loudly if a far decade ever crosses that).
         .agg(count(lit(1)).cast("long").as("n_customers"),
           sum(col("units")).as("total_units"),
-          sum(col("i") * col("units")).as("ranked_sum"))
+          sum((col("i") * col("units")).cast("decimal(38,0)"))
+            .as("ranked_sum"))
         .select(col("n_customers"), col("total_units"),
           expr("((2 * ranked_sum) div n_customers * 1000000) " +
             "div total_units - " +
