@@ -321,13 +321,22 @@ object PredProbe {
         case Array((n1, r1), (n2, r2)) => r1 > r2 || (r1 == r2 && n1 < n2)
         case _ => true
       }
-      // resolution marker: at 1000x (165M nodes) the integer mass
-      // quantizes to ~6060 units/node and the whole top-100 can TIE on
-      // one pr value — the family check then passes vacuously (every
-      // singleton family sits at the boundary pr). distinct_pr makes
-      // that visible in the artifact instead of reading as 100 verified
-      // cohorts; the sort contract (ties by node asc) is still real.
+      // Tie diagnostics. distinct_pr alone conflates two different ties
+      // (r10's reading was the conflation): once the composed replica
+      // count reaches the top-k, the ENTIRE top-100 is one isomorphic
+      // cohort and distinct_pr == 1 is the CORRECT exact answer at any
+      // resolution (measured at sf10 under nn·6e6 mass: all 100 rows are
+      // images of one hot supplier base). What distinguishes that from a
+      // resolution-limited mash (r10's sf100 artifact: ~6060 units/node
+      // quantized DIFFERENT bases onto one value) is how many distinct
+      // BASES share the boundary pr: boundary_bases == 1 means a true
+      // cohort tie; > 1 means quantization merged structurally distinct
+      // nodes and the family check is running on mush.
       val distinctPr = rows.map(_._2).distinct.length
+      val minPr0 = rows.map(_._2).min
+      val boundaryBases = rows.filter(_._2 == minPr0)
+        .map(x => baseOf(x._1)).distinct.length
+      val topBases = rows.map(x => baseOf(x._1)).distinct.length
       // isomorphic replicas must rank their base nodes identically: every
       // (base, pr_units) family is complete (all `reps` images) except
       // possibly families cut by the top-100 boundary, which the sort
@@ -344,6 +353,7 @@ object PredProbe {
       val ok = sortOk && broken.isEmpty && rows.length == 100
       s"""{"query":"$name","kind":"cohort_symmetry","rows":${rows.length},""" +
         s""""families":${fams.size},"distinct_pr":$distinctPr,""" +
+        s""""top_bases":$topBases,"boundary_bases":$boundaryBases,""" +
         s""""sort_ok":$sortOk,""" +
         s""""broken_families":{${broken.mkString(",")}},"ok":$ok}"""
     }

@@ -229,8 +229,12 @@ object StatsOps {
           sum((col("i") * col("units")).cast("decimal(38,0)"))
             .as("ranked_sum"))
         .select(col("n_customers"), col("total_units"),
-          expr("((2 * ranked_sum) div n_customers * 1000000) " +
-            "div total_units - " +
+          // the rank-weighted quotient is ~4.5e13 at sf100 (measured), so
+          // its ·1e6 staging crosses 2^63 — that one product rides DECIMAL
+          // (same integers, same truncation order, so values are identical
+          // at every sf; everything is output-row-sized here)
+          expr("(CAST((2 * ranked_sum) div n_customers AS DECIMAL(38,0)) " +
+            "* 1000000) div total_units - " +
             "(1000000 * (n_customers + 1)) div n_customers")
             .as("gini_micro"))
     },

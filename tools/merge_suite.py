@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Merge SuiteProbe progress logs into one completion artifact.
+
+SuiteProbe prints one `SUITE <name> <cell-json>` line per query as it runs
+and writes the full JSON only at exit — a run killed mid-flight (or a
+targeted GRAFT_ONLY re-run after a fix) still has every completed cell in
+its log. This stitches N logs (later logs override earlier cells, so a
+re-run after a fix replaces the failed cell), attaches the exclusion map,
+and emits the same suite_completion schema SuiteProbe itself writes.
+
+Usage: merge_suite.py out.json sf_dir cpus shuffle_parts \
+         excluded.json log1 [log2 ...]
+"""
+import json, re, sys
+
+def main():
+    out, sf_dir, cpus, parts, exc_path = sys.argv[1:6]
+    logs = sys.argv[6:]
+    cells = {}
+    for path in logs:
+        for line in open(path, errors="replace"):
+            m = re.match(r"SUITE (q\S+) (\{.*\})\s*$", line)
+            if m:
+                try:
+                    cells[m.group(1)] = json.loads(m.group(2))
+                except json.JSONDecodeError:
+                    pass
+    excluded = json.load(open(exc_path))
+    for q in excluded:
+        cells.pop(q, None)
+    failed = sum(1 for c in cells.values() if "error" in c)
+    doc = {
+        "metric": "suite_completion", "sf_dir": sf_dir,
+        "cpus": int(cpus), "shuffle_partitions": int(parts),
+        "queries": len(cells), "failed": failed,
+        "excluded": excluded,
+        "merged_from_logs": len(logs),
+        "per_query": {q: cells[q] for q in sorted(cells)},
+    }
+    with open(out, "w") as f:
+        json.dump(doc, f)
+        f.write("\n")
+    print(f"{out}: {len(cells)} cells, failed {failed}, "
+          f"excluded {len(excluded)}")
+
+if __name__ == "__main__":
+    main()
