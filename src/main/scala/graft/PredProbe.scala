@@ -176,7 +176,6 @@ object PredProbe {
       val bigRows = big.groupBy(col("__rep"))
         .agg(measures(shifts).head, measures(shifts).tail: _*)
         .orderBy(col("__rep")).collect()
-      dropCached()
       val crossRows = bigRows.filter(_.getAs[Long]("__rep") < 0)
         .map(_.getAs[Long]("n")).sum
       val withinRows = bigRows.filter(_.getAs[Long]("__rep") >= 0)
@@ -186,9 +185,15 @@ object PredProbe {
           .map(f => s""""rep${r.getAs[Long]("__rep")}.$f":[${
             r.getAs[Long](f)},${smallRow.getAs[Long](f)}]""")
       }
+      // witness BEFORE dropCached: the cross frame re-executes `big`,
+      // whose eager localCheckpoint blocks dropCached would unpersist —
+      // local-checkpoint blocks are unrecoverable, so the first perm-
+      // decade run (where q46/q77 genuinely HAVE cross rows) crashed
+      // with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND here
       val (crossJoined, crossBad) =
         if (crossRows == 0 || crossWitness.isEmpty) (crossRows, 0L)
         else crossWitness.get(big.filter(col("__rep") < 0))
+      dropCached()
       val crossOk =
         if (crossWitness.isEmpty) crossRows == 0
         else crossBad == 0 && crossJoined == crossRows

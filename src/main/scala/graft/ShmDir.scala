@@ -25,6 +25,11 @@ object ShmDir {
     * the name alone cannot prove). */
   private val Marker = ".graft-claim"
 
+  /** The exact prefixes this repo's tools claim — the legacy-ownership
+    * allowlist for dirs written before the marker existed. */
+  private val KnownPrefixes = Set("graft-bench", "graft-verify",
+    "graft-suite", "graft-scale", "graft-pred", "graft-inv", "graft-skew")
+
   /** Claim `/dev/shm/<prefix>-<pid>` (registering exit cleanup) and sweep
     * dead siblings — including the legacy un-suffixed `<prefix>` dir no
     * live process uses anymore. Returns the `spark.local.dir` value;
@@ -44,12 +49,18 @@ object ShmDir {
       // that OOM-killed an unrelated sf10 SuiteProbe). Ownership is
       // proved by the marker FILE this claim writes, never by the name
       // pattern alone; liveness stays PID-exact.
-      val stale =
-        n == prefix || (n.startsWith("graft-") &&
-          new java.io.File(f, Marker).isFile &&
-          n.lastIndexOf('-') > 0 &&
-          n.drop(n.lastIndexOf('-') + 1).toLongOption
-            .exists(pid => !ProcessHandle.of(pid).isPresent))
+      val deadPid = n.lastIndexOf('-') > 0 &&
+        n.drop(n.lastIndexOf('-') + 1).toLongOption
+          .exists(pid => !ProcessHandle.of(pid).isPresent)
+      // ownership: the marker this claim writes, OR an exact known claim
+      // prefix (covers dirs left by pre-marker builds — an OOM-killed
+      // r11 suite run left 30 GB resident precisely because its dir
+      // predates the marker). A user-staged /dev/shm/graft-100 matches
+      // neither and is never touched.
+      val owned = new java.io.File(f, Marker).isFile ||
+        (n.lastIndexOf('-') > 0 &&
+          KnownPrefixes(n.take(n.lastIndexOf('-'))))
+      val stale = n == prefix || (n.startsWith("graft-") && owned && deadPid)
       if (stale) rmTree(f)
     }
     val mine = new java.io.File(base, s"$prefix-${ProcessHandle.current().pid()}")

@@ -82,7 +82,11 @@ object DistinctPairJoin {
     val vals = rows.select(col(valCol).as("a_str"))
       .filter(col("a_str").isNotNull).distinct()
       .repartition(spark.sparkContext.defaultParallelism)
-      .localCheckpoint()
+      // serialized blocks: local-checkpoint evictions are unrecoverable,
+      // and compact bytes survive allocation pressure (GraphOps' sf100
+      // lesson); the set is small so the level costs nothing
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // oriented value matrix: broadcast one side (d strings — bounded
     // vocabulary by the crossover's own premise), stream the other
     val pairs = vals.crossJoin(broadcast(vals.select(col("a_str").as("b_str"))))

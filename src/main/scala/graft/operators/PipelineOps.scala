@@ -119,8 +119,13 @@ object PipelineOps {
         }
       // survivors are output-sized; materialize them ONCE before the
       // global sort — the range partitioner's sampling pass otherwise
-      // re-executes the whole pair generation + kernel
-      surv.localCheckpoint()
+      // re-executes the whole pair generation + kernel. SERIALIZED
+      // blocks (the q154/GraphOps sf100 lesson): at 1000x the survivor
+      // set is ~26M rows, and deserialized unroll under allocation
+      // pressure can evict local-checkpoint blocks, which are
+      // unrecoverable by design — compact bytes spill predictably.
+      surv.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         .orderBy(col("p_brand"), col("a_key"), col("b_key"))
     },
     Some("""WITH RECURSIVE
@@ -251,7 +256,8 @@ object PipelineOps {
         }
       // output-sized survivor set, materialized once before the global
       // sort (same rationale as q46's checkpoint)
-      surv.localCheckpoint()
+      surv.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         .orderBy(col("sim").desc, col("a_key"), col("b_key"))
     },
     Some("""SELECT p_brand, a_key, b_key, sim FROM (
