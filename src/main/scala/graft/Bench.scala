@@ -326,14 +326,15 @@ object Bench {
       }.mkString("{", ",", "}")
       if (shared.isEmpty) s""""quiet_ref":{"shared":0,"excluded":$excluded}"""
       else {
-        // Denominator clamped to the 50 ms floor (ADVICE r10): an
-        // asymmetric pair with a few-ms ref cell otherwise contributes a
-        // 10-50x ratio driven purely by timer noise, and that feeds the
-        // median, the residual_inflation flag, and adjusted_total. The
-        // pair STAYS in the pool (the r10 fix's goal — asymmetry is the
-        // signal); only its noise-floor denominator is bounded.
+        // BOTH sides clamped to the 50 ms floor (ADVICE r10/r11): an
+        // asymmetric pair with a few-ms cell on either side otherwise
+        // contributes a noise-driven ratio — a fast ref inflates (10-50x),
+        // a fast run deflates (near-zero) — and both feed the median, the
+        // residual_inflation flag, and adjusted_total. The pair STAYS in
+        // the pool (the r10 fix's goal — asymmetry is the signal); only
+        // its sub-noise side(s) are bounded.
         val ratios = shared.map { case (n, t) =>
-          t / math.max(ref(n), 0.05) }.sorted
+          math.max(t, 0.05) / math.max(ref(n), 0.05) }.sorted
         val med = ratios(ratios.size / 2)
         val tot = shared.map(_._2).sum
         val refTot = shared.map { case (n, _) => ref(n) }.sum

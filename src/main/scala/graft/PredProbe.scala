@@ -805,15 +805,9 @@ object PredProbe {
       // cheaper verdict lands first if the run is wall-killed
       "q35_ngram_jaccard_blocked" -> (() => q35Check()))
 
-    // GRAFT_EXCLUDE=name=reason;name=reason — scope-outs recorded IN the
-    // artifact (VERDICT r10 #8), same contract as SuiteProbe's.
-    val excluded: Map[String, String] = sys.env.get("GRAFT_EXCLUDE")
-      .map(_.split(";").filter(_.nonEmpty).map { e =>
-        val Array(n, r) = e.split("=", 2)
-        require(checks.exists(_._1 == n),
-          s"GRAFT_EXCLUDE names unknown check: $n")
-        n -> r
-      }.toMap).getOrElse(Map.empty)
+    // Scope-outs recorded IN the artifact (VERDICT r10 #8) — see ProbeEnv.
+    val excluded: Map[String, String] = ProbeEnv.parseExclude(
+      sys.env.get("GRAFT_EXCLUDE"), n => checks.exists(_._1 == n))
 
     var failed = 0
     val rows = checks

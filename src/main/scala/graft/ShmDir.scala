@@ -18,17 +18,15 @@ object ShmDir {
   }
 
   /** Marker dropped into every claimed dir: the sweep below deletes ONLY
-    * dirs carrying it (plus the legacy exact-prefix dir), so a
-    * user-staged `/dev/shm/graft-100` or a dataset copied under a
-    * graft-*-<number> name can never be destroyed by a tool startup
-    * (ADVICE r10 — the bare name+dead-PID gate was a claim of ownership
-    * the name alone cannot prove). */
+    * dirs carrying it, so a user-staged `/dev/shm/graft-100` or a dataset
+    * copied under ANY graft-* name — marker-less — can never be destroyed
+    * by a tool startup (ADVICE r10 — the bare name+dead-PID gate was a
+    * claim of ownership the name alone cannot prove). r12: the
+    * transitional known-prefix allowlist (which re-opened a sliver of
+    * that window for dirs named exactly like a pre-marker tool's, ADVICE
+    * r11) is gone — every build since r11 writes the marker and no
+    * pre-marker dirs remain on this box, so ownership is now marker-only. */
   private val Marker = ".graft-claim"
-
-  /** The exact prefixes this repo's tools claim — the legacy-ownership
-    * allowlist for dirs written before the marker existed. */
-  private val KnownPrefixes = Set("graft-bench", "graft-verify",
-    "graft-suite", "graft-scale", "graft-pred", "graft-inv", "graft-skew")
 
   /** Claim `/dev/shm/<prefix>-<pid>` (registering exit cleanup) and sweep
     * dead siblings — including the legacy un-suffixed `<prefix>` dir no
@@ -52,14 +50,7 @@ object ShmDir {
       val deadPid = n.lastIndexOf('-') > 0 &&
         n.drop(n.lastIndexOf('-') + 1).toLongOption
           .exists(pid => !ProcessHandle.of(pid).isPresent)
-      // ownership: the marker this claim writes, OR an exact known claim
-      // prefix (covers dirs left by pre-marker builds — an OOM-killed
-      // r11 suite run left 30 GB resident precisely because its dir
-      // predates the marker). A user-staged /dev/shm/graft-100 matches
-      // neither and is never touched.
-      val owned = new java.io.File(f, Marker).isFile ||
-        (n.lastIndexOf('-') > 0 &&
-          KnownPrefixes(n.take(n.lastIndexOf('-'))))
+      val owned = new java.io.File(f, Marker).isFile
       val stale = n == prefix || (n.startsWith("graft-") && owned && deadPid)
       if (stale) rmTree(f)
     }

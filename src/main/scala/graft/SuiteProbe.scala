@@ -71,18 +71,10 @@ object SuiteProbe {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
     }
-    // GRAFT_EXCLUDE=name=reason;name=reason — scope-outs recorded IN the
-    // artifact (VERDICT r10 #8: the q46/q77/q79 sf100 exclusions lived in
-    // round-notes prose; the artifact should describe itself). Unknown
-    // names fail loudly rather than silently excluding nothing;
-    // ';'-separated so reasons can carry prose commas.
-    val excluded: Map[String, String] = sys.env.get("GRAFT_EXCLUDE")
-      .map(_.split(";").filter(_.nonEmpty).map { e =>
-        val Array(n, r) = e.split("=", 2)
-        require(QueryRegistry.queries.exists(_.name == n),
-          s"GRAFT_EXCLUDE names unknown query: $n")
-        n -> r
-      }.toMap).getOrElse(Map.empty)
+    // Scope-outs recorded IN the artifact (VERDICT r10 #8) — see ProbeEnv.
+    val excluded: Map[String, String] = ProbeEnv.parseExclude(
+      sys.env.get("GRAFT_EXCLUDE"),
+      n => QueryRegistry.queries.exists(_.name == n))
     // GRAFT_ONLY=name,name — subset re-runs (same machinery, fewer
     // queries): used to re-measure cells after a fix without paying the
     // full multi-hour suite again; the merged artifact keeps per-cell
@@ -111,7 +103,20 @@ object SuiteProbe {
     // folded into a green total. Empty results are vacuously green
     // (min over zero rows coalesced to 1). The cell is marked so a
     // reader can tell.
-    val orderInsensitive = Set("q35_ngram_jaccard_blocked")
+    // GRAFT_SUM_CELL=name,name extends the set at the output-bound third
+    // decade (VERDICT r11 #2): q56/q79's LISTINGS are ~4-5B-row facts no
+    // consumer sorts, but their kernels still deserve a measured sf100
+    // cell — the same count + un-prunable invariant-sum contract q35
+    // pioneered. The cells stay marked order_insensitive in the artifact
+    // so a reader can tell them from listing-materializing cells.
+    val orderInsensitive = Set("q35_ngram_jaccard_blocked") ++
+      sys.env.get("GRAFT_SUM_CELL").toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        .map { n =>
+          require(QueryRegistry.queries.exists(_.name == n),
+            s"GRAFT_SUM_CELL names unknown query: $n")
+          n
+        }
     var failed = 0
     val rows = names.map { n =>
       val t0 = System.nanoTime()

@@ -144,6 +144,33 @@ object Tables {
       )).longValue()
   }
 
+  /** Memoized max STRIPPED-suffix length for one string column: max
+    * string length minus the corpus-wide common-prefix length (itself
+    * derived from the two lexicographic extremes — min/max bound every
+    * string's shared prefix). Drives EditDistanceJoin's candidate-scheme
+    * crossover (chooseCandidateScheme): short low-alphabet suffixes
+    * (zero-padded digit IDs) defeat PassJoin's segment entropy and route
+    * to deletion signatures instead. One scalar agg per (dir, mtime,
+    * table, column), memoized like every other catalog stat. */
+  def cachedStrippedLen(spark: SparkSession, dir: String, name: String,
+                        colName: String): Long = {
+    val ver = new java.io.File(s"$dir/$name.parquet").lastModified
+    countCache.computeIfAbsent(
+      (spark.sparkContext.applicationId + "/" + System.identityHashCode(spark),
+        s"$dir@$ver", s"$name#strippedlen($colName)"),
+      _ => java.lang.Long.valueOf {
+        val r = t(spark, dir, name).agg(min(col(colName)).as("mn"),
+          max(col(colName)).as("mx"),
+          max(length(col(colName))).as("ml")).head()
+        if (r.isNullAt(0)) 0L
+        else {
+          val plen = r.getString(0).zip(r.getString(1))
+            .takeWhile { case (a, b) => a == b }.length
+          r.getInt(2).toLong - plen
+        }
+      }).longValue()
+  }
+
   /** Cast to DECIMAL(18,s) — exact, associative sums on both engines. */
   def dec(c: Column, s: Int = 2): Column = c.cast(s"decimal(18,$s)")
 

@@ -470,17 +470,23 @@ object DedupText {
     * the shared "Customer#000..." prefix) makes candidate generation pure
     * overhead at small blocks (measured at sf0.1: brute 0.54s vs PassJoin
     * 1.5s when run UNBLOCKED; per-nation blocks of 600 are far under the
-    * ceiling). Above it, PassJoin candidate generation (selfJoinK2's
-    * multi-match-aware windows), whose (block, segment) join keys grow
-    * with the data — parallelism and per-task work then scale with rows,
-    * not with the fixed nation count. Both paths are exact (hash-matched
-    * oracle + the blocked k=2 agreement test in TokenizerSpec), so the
-    * crossover only moves time, never values. Block size is the REAL
-    * per-nation maximum from the memoized histogram stat
-    * (Tables.cachedMaxBlockRows — r9's rowCount/25 was the mean, which a
-    * skewed assignment could underestimate past the crossover, ADVICE
-    * r9); the one bounded aggregate it costs is paid once per
-    * (dir, mtime) and amortizes to a map lookup. */
+    * ceiling). Above it, candidate generation whose (block, signature)
+    * join keys grow with the data — parallelism and per-task work then
+    * scale with rows, not with the fixed nation count. WHICH candidate
+    * scheme is itself stat-selected (r12): this corpus's stripped suffix
+    * is a short dense digit string, exactly the shape that collapses
+    * PassJoin's segment entropy (the r11 sf100 run was candidate-bound at
+    * ~240B candidates and wall-killed), so the stripped-length stat
+    * (Tables.cachedStrippedLen, ≤12 chars) routes the blocked join
+    * through per-block deletion signatures (selfJoinSymDelete) whose
+    * buckets stay discriminative on digit IDs. All paths are exact
+    * (hash-matched oracle + the blocked k=2 agreement tests in
+    * TokenizerSpec), so both crossovers only move time, never values.
+    * Block size is the REAL per-nation maximum from the memoized
+    * histogram stat (Tables.cachedMaxBlockRows — r9's rowCount/25 was the
+    * mean, which a skewed assignment could underestimate past the
+    * crossover, ADVICE r9); the bounded aggregates the two stats cost are
+    * paid once per (dir, mtime) and amortize to map lookups. */
   private val q38 = GraftQuery(
     "q38_fuzzy_name_pairs",
     (s, d) => {
@@ -489,8 +495,10 @@ object DedupText {
         .select(col("c_nationkey").as("nk"), col("c_custkey").as("key"),
           col("c_name").as("name"))
       val blockEst = Tables.cachedMaxBlockRows(s, d, "customer", "c_nationkey")
+      val slen = Tables.cachedStrippedLen(s, d, "customer", "c_name")
       val pairs = EditDistanceJoin.selfJoinAuto(base, "key", "name", k = 2,
-        blockCols = Seq("nk"), maxBlockRowsHint = Some(blockEst))
+        blockCols = Seq("nk"), maxBlockRowsHint = Some(blockEst),
+        strippedLenHint = Some(slen))
       // ratio is over FULL name lengths; the pair stream carries keys and
       // the full-string lev only, so lengths re-attach via two
       // output-sized joins against the (key, len) projection

@@ -207,29 +207,36 @@ object EditDistanceJoin {
       .agg(min(col("lev")).as("lev"))
   }
 
-  /** Symmetric-delete (SymSpell-style) ed <= 2 self-join for SHORT strings
+  /** Symmetric-delete (SymSpell-style) ed <= k self-join for SHORT strings
     * (public algorithm: Garbe's SymSpell / the k-deletion-neighborhood
     * lemma — if ed(u,v) <= k, deleting <= k chars from each side reaches a
     * common string; take the alignment's matched positions). Every string
-    * emits its <= 2-deletion neighborhood as xxhash64 signatures —
-    * (n+1)(n+2)/2 ≈ 28 sigs for n = 6 — and candidates come from a plain
-    * equi-join on (blockCols, sig). Hash collisions only ADD candidates
-    * (the thresholded levenshtein verify drops them), never lose pairs.
+    * emits its <= k-deletion neighborhood as xxhash64 signatures —
+    * n+1 sigs at k=1, (n+1)(n+2)/2 ≈ 28 sigs for n = 6 at k=2 — and
+    * candidates come from a plain equi-join on (blockCols, sig). Hash
+    * collisions only ADD candidates (the thresholded levenshtein verify
+    * drops them), never lose pairs.
     *
     * Complements PassJoin by data shape: segment candidate generation
     * needs segment entropy (distinctive substrings), which low-alphabet
     * fixed-width keys (digit IDs, zero-padded names) don't have — there
     * PassJoin degrades to near-all-pairs while deletion signatures stay
-    * discriminative. Conversely the O(n²·k?) signature count rules this
+    * discriminative. Conversely the O(n^k) signature count rules this
     * out for long strings: use it for n up to ~12 (after common-prefix
-    * strip), PassJoin beyond. No minimum length — works down to n = 0.
+    * strip), PassJoin beyond — selfJoinAuto encodes exactly that rule as
+    * chooseCandidateScheme over the stripped-length stat (r12: the sf100
+    * run's one candidate-bound kill was q38's 800k-row nation blocks of
+    * sequential digit names collapsing PassJoin segment entropy into
+    * ~240B candidates; deletion signatures over the same blocks stay
+    * discriminative). No minimum length — works down to n = 0.
     *
     * Same contracts as selfJoinK2: corpus common prefix stripped first
     * (ed(Pu, Pv) = ed(u, v)), `lev` is the full-string distance, the only
     * wide shuffle after the signature join carries (a_key, b_key, lev)
     * ints with map-side partial aggregation. */
-  def selfJoinSymDeleteK2(df: DataFrame, keyCol: String, strCol: String,
-                          blockCols: Seq[String] = Nil): DataFrame = {
+  def selfJoinSymDelete(df: DataFrame, keyCol: String, strCol: String,
+                        k: Int, blockCols: Seq[String] = Nil): DataFrame = {
+    require(k == 1 || k == 2, s"symmetric-delete rung supports k in {1,2}, got $k")
     val mm = df.agg(min(col(strCol)).as("mn"), max(col(strCol)).as("mx")).head()
     val plen =
       if (mm.isNullAt(0)) 0
@@ -240,24 +247,55 @@ object EditDistanceJoin {
       (bc :+ col(keyCol).as("key") :+
         substring(col(strCol), plen + 1, Int.MaxValue).as("str")): _*)
     // Deletion positions i <= j in {0..n} (0 = no deletion), higher
-    // position applied first so the lower index is unshifted. (i = j > 0
-    // and j = n edge cases emit redundant duplicate signatures — harmless,
-    // the verify groupBy collapses them.)
-    def sigs(keyAs: String, strAs: String) = base
-      .selectExpr(withBc(s"key AS $keyAs", s"str AS $strAs",
-        "explode(sequence(0, length(str))) AS j"): _*)
-      .selectExpr(withBc(keyAs, strAs, "j",
-        s"CASE WHEN j = 0 THEN $strAs ELSE concat(substr($strAs, 1, j - 1), substr($strAs, j + 1)) END AS d"): _*)
-      .selectExpr(withBc(keyAs, strAs, "d", "explode(sequence(0, j)) AS i"): _*)
-      .selectExpr(withBc(keyAs, strAs,
-        "xxhash64(CASE WHEN i = 0 THEN d ELSE concat(substr(d, 1, i - 1), substr(d, i + 1)) END) AS sig"): _*)
-    sigs("a_key", "a_str").join(sigs("b_key", "b_str"), blockCols :+ "sig")
+    // position applied first so the lower index is unshifted. The
+    // neighborhood is built as ONE array expression per row and
+    // array_distinct'ed BEFORE the explode (r12): the i = j > 0 and
+    // j = n edge cases emit redundant duplicate signatures — (n+1)(n+2)/2
+    // emitted vs 1 + n + C(n,2) distinct, ~18% — and while the verify
+    // groupBy collapses the duplicate PAIRS, the duplicate sig rows
+    // inflate the candidate shuffle linearly and the candidate stream
+    // super-linearly (each bucket's pair count is a product of per-row
+    // multiplicities). Map-side distinct costs a ~45-long array per row;
+    // at the sf100 shape (15M rows x 45 sigs x 2 sides) it cuts tens of
+    // GB of shuffle. k = 1 stops at depth one: an ed<=1 pair reaches a
+    // common string after at most one deletion per side (substitution:
+    // delete the differing position from both; insert/delete: delete the
+    // extra char from the longer side).
+    def sigs(keyAs: String, strAs: String) = {
+      def d(s: String) =
+        s"CASE WHEN j = 0 THEN $s ELSE concat(substr($s, 1, j - 1), substr($s, j + 1)) END"
+      val arr =
+        if (k == 1)
+          s"transform(sequence(0, length(str)), j -> xxhash64(${d("str")}))"
+        else
+          s"""flatten(transform(sequence(0, length(str)), j ->
+             transform(sequence(0, j), i ->
+               xxhash64(CASE WHEN i = 0 THEN ${d("str")}
+                 ELSE concat(substr(${d("str")}, 1, i - 1),
+                             substr(${d("str")}, i + 1)) END))))"""
+      base.selectExpr(withBc(s"key AS $keyAs", s"str AS $strAs",
+        s"explode(array_distinct($arr)) AS sig"): _*)
+    }
+    // The candidate join is hinted shuffled-hash (r12): both sides are
+    // same-sized exploded signature streams, so sort-merge pays two
+    // external sorts of the fattest intermediate in the whole plan (the
+    // sf100 run's disk killer — the sorts spilled past the box's free
+    // disk) for no benefit; a per-partition hash build is bounded by
+    // rows/width and scales with the shuffle-partition count.
+    sigs("a_key", "a_str").hint("shuffle_hash")
+      .join(sigs("b_key", "b_str"), blockCols :+ "sig")
       .filter(col("a_key") < col("b_key"))
-      .withColumn("lev", levenshtein_k(col("a_str"), col("b_str"), 2).cast("long"))
+      .withColumn("lev", levenshtein_k(col("a_str"), col("b_str"), k).cast("long"))
       .filter(col("lev") >= 0)
       .groupBy((bc :+ col("a_key") :+ col("b_key")): _*)
       .agg(min(col("lev")).as("lev"))
   }
+
+  /** The k = 2 form under its original name (q83, selfJoinK2's
+    * short-suffix channel, the r11 specs). */
+  def selfJoinSymDeleteK2(df: DataFrame, keyCol: String, strCol: String,
+                          blockCols: Seq[String] = Nil): DataFrame =
+    selfJoinSymDelete(df, keyCol, strCol, 2, blockCols)
 
   /** Brute-force ed <= k self-join within blocks — the right plan when
     * blocks are SMALL: candidate generation (segment/signature explodes,
@@ -308,6 +346,29 @@ object EditDistanceJoin {
                      threshold: Long = BruteForceMaxBlock): String =
     if (maxBlockRows <= threshold) "brute" else "passjoin"
 
+  /** Candidate-scheme selection past the brute crossover (pure function,
+    * unit-tested) — the r12 answer to the sf100 run's one candidate-bound
+    * kill (q38): PassJoin's segment equi-join needs SEGMENT ENTROPY, and a
+    * short low-alphabet stripped suffix (sequential zero-padded digit IDs)
+    * doesn't have it — 800k-row nation blocks of 7-digit suffixes collapse
+    * into 2-3-digit segments shared by ~thousands of rows (~240B
+    * candidates at sf100, killed at the 100-minute wall in r11). Deletion
+    * signatures stay discriminative on exactly that shape, and their
+    * O(n^k)-per-row signature cost is bounded precisely because the
+    * suffix is short: at the n = 12 ceiling, k=2 emits 91 sigs/row (k=1:
+    * 13), and past it PassJoin's fixed 3-9 probes win and keep winning.
+    * The driving stat is the MAX stripped-suffix length — a corpus-level
+    * scalar (max(length) minus the common-prefix length the join strips
+    * anyway), memoizable like every other catalog stat
+    * (Tables.cachedStrippedLen). Both schemes are exact (lossless
+    * candidate generation + the same thresholded verify), so the
+    * crossover only moves time, never values — pinned by the
+    * forced-scheme agreement tests. */
+  val SymDeleteMaxStrippedLen = 12L
+  def chooseCandidateScheme(strippedMaxLen: Long, k: Int,
+                            maxLen: Long = SymDeleteMaxStrippedLen): String =
+    if (k <= 2 && strippedMaxLen <= maxLen) "symdelete" else "passjoin"
+
   /** Auto-selecting ed <= k self-join: sizes the largest block and picks
     * brute-force-within-block vs PassJoin per chooseStrategy. Global
     * (no blocks): the row count comes from CATALYST PLAN STATISTICS
@@ -318,13 +379,18 @@ object EditDistanceJoin {
     * sizes aren't in stats, so one cheap count aggregate — or the caller
     * passes `maxBlockRowsHint` (e.g. table count / block-key cardinality
     * for a uniformly-assigned key, from the cached catalog stat) and no
-    * job runs at plan time at all. k = 1 assumes
-    * equal-length strings on the PassJoin path (selfJoinK1's contract);
-    * brute force has no such precondition. */
+    * job runs at plan time at all. Past the brute crossover a SECOND
+    * stat picks the candidate scheme (chooseCandidateScheme): short
+    * stripped suffixes route to deletion signatures, long ones to
+    * PassJoin segments — `strippedLenHint` (Tables.cachedStrippedLen)
+    * skips the one scalar agg that stat otherwise costs. k = 1 assumes
+    * equal-length strings on the PassJoin path (selfJoinK1's contract;
+    * the symdelete and brute paths have no such precondition). */
   def selfJoinAuto(df: DataFrame, keyCol: String, strCol: String, k: Int,
                    blockCols: Seq[String] = Nil,
                    threshold: Long = BruteForceMaxBlock,
-                   maxBlockRowsHint: Option[Long] = None): DataFrame = {
+                   maxBlockRowsHint: Option[Long] = None,
+                   strippedLenHint: Option[Long] = None): DataFrame = {
     val maxBlock = maxBlockRowsHint.getOrElse {
       if (blockCols.isEmpty) {
         val stats = df.queryExecution.optimizedPlan.stats
@@ -335,24 +401,46 @@ object EditDistanceJoin {
     }
     chooseStrategy(maxBlock, threshold) match {
       case "brute" => bruteForceSelfJoin(df, keyCol, strCol, k, blockCols)
-      case _ if k <= 1 => selfJoinK1(df, keyCol, strCol, blockCols)
-      case _ => selfJoinK2(df, keyCol, strCol, blockCols)
+      case _ =>
+        val strippedLen = strippedLenHint.getOrElse {
+          val r = df.agg(min(col(strCol)).as("mn"), max(col(strCol)).as("mx"),
+            max(length(col(strCol))).as("ml")).head()
+          if (r.isNullAt(0)) 0L
+          else {
+            val plen = r.getString(0).zip(r.getString(1))
+              .takeWhile { case (a, b) => a == b }.length
+            r.getInt(2).toLong - plen
+          }
+        }
+        chooseCandidateScheme(strippedLen, k) match {
+          case "symdelete" =>
+            selfJoinSymDelete(df, keyCol, strCol, k, blockCols)
+          case _ if k <= 1 => selfJoinK1(df, keyCol, strCol, blockCols)
+          case _ => selfJoinK2(df, keyCol, strCol, blockCols)
+        }
     }
   }
 
-  /** PassJoin over customer names, global — no metadata blocking key
-    * (compare q38, which blocks on nation to tame O(n²)). Routed through
-    * the auto-selector: at sf0.01 and below (≤1.5k names) it picks the
-    * single-stage brute join; at sf0.1's 15k rows the measured crossover
-    * (see BruteForceMaxBlock) already favors PassJoin's candidate
-    * generation, and stays that way forever. */
+  /** Edit-distance self-join over customer names, global — no metadata
+    * blocking key (compare q38, which blocks on nation to tame O(n²)).
+    * Routed through the auto-selector: at sf0.01 and below (≤1.5k names)
+    * it picks the single-stage brute join; at sf0.1's 15k rows the
+    * measured crossover (see BruteForceMaxBlock) favors candidate
+    * generation — and the candidate scheme is itself stat-selected: the
+    * stripped suffix here is a short dense digit string (5 chars at
+    * sf0.1, 8 at sf100), so chooseCandidateScheme routes to deletion
+    * signatures (r12) — PassJoin's 4-digit half-segments at sf100 take
+    * only ~1.5k distinct values over 15M rows (sequential keys put the
+    * FIRST half in [0000, 1500]), ~10k-row buckets, ~150B candidates;
+    * depth-1 deletion signatures on the same corpus bucket at ~tens. */
   private val q56 = GraftQuery(
     "q56_passjoin_edit_pairs",
     (s, d) => {
       val c = t(s, d, "customer")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("c_custkey"), col("c_name"))
-      selfJoinAuto(c, "c_custkey", "c_name", k = 1)
+      selfJoinAuto(c, "c_custkey", "c_name", k = 1,
+        strippedLenHint = Some(Tables.cachedStrippedLen(s, d, "customer", "c_name")))
         .select(col("a_key"), col("b_key"), col("lev"))
         .orderBy(col("a_key"), col("b_key"))
     },

@@ -51,6 +51,17 @@ class TokenizerSpec extends SparkSpec {
     assert(EditDistanceJoin.chooseStrategy(10, threshold = 5) == "passjoin")
   }
 
+  test("candidate-scheme selection: symdelete for short stripped suffixes, passjoin beyond") {
+    import EditDistanceJoin.{chooseCandidateScheme, SymDeleteMaxStrippedLen}
+    assert(chooseCandidateScheme(0, 2) == "symdelete")
+    assert(chooseCandidateScheme(SymDeleteMaxStrippedLen, 2) == "symdelete")
+    assert(chooseCandidateScheme(SymDeleteMaxStrippedLen + 1, 2) == "passjoin")
+    assert(chooseCandidateScheme(8, 1) == "symdelete")
+    assert(chooseCandidateScheme(30, 1) == "passjoin")
+    // symdelete's signature count is O(n^k) — never selected past k=2
+    assert(chooseCandidateScheme(5, 3) == "passjoin")
+  }
+
   test("brute-force and PassJoin k=1 paths agree on customers (sf0.001)") {
     val c = Tables.t(spark, sf, "customer").select(col("c_custkey"), col("c_name"))
     val brute = EditDistanceJoin.bruteForceSelfJoin(c, "c_custkey", "c_name", 1)
@@ -77,5 +88,68 @@ class TokenizerSpec extends SparkSpec {
     val pass = run(EditDistanceJoin.BruteForceMaxBlock + 1)     // forces PassJoin
     assert(brute.nonEmpty)
     assert(brute == pass)
+  }
+
+  test("blocked k=2: all three auto rungs agree on customers (sf0.001)") {
+    // The r12 stripped-length rung (q38's sf100 fix): past the brute
+    // crossover, a SHORT stripped suffix routes to per-block deletion
+    // signatures, a long one to PassJoin segments. All three rungs must be
+    // value-identical — the hints force each path on the same corpus.
+    val c = Tables.t(spark, sf, "customer")
+      .select(col("c_nationkey").as("nk"), col("c_custkey"), col("c_name"))
+    def run(blockHint: Long, slenHint: Long) = EditDistanceJoin.selfJoinAuto(
+      c, "c_custkey", "c_name", k = 2, blockCols = Seq("nk"),
+      maxBlockRowsHint = Some(blockHint), strippedLenHint = Some(slenHint))
+      .orderBy(col("nk"), col("a_key"), col("b_key")).collect().toSeq
+    val brute = run(1L, 0L)
+    val sym = run(EditDistanceJoin.BruteForceMaxBlock + 1, 1L)   // symdelete
+    val pass = run(EditDistanceJoin.BruteForceMaxBlock + 1,      // passjoin
+      EditDistanceJoin.SymDeleteMaxStrippedLen + 1)
+    assert(brute.nonEmpty)
+    assert(brute == sym, "symdelete rung disagrees with brute")
+    assert(brute == pass, "passjoin rung disagrees with brute")
+  }
+
+  test("global k=1: symdelete and PassJoin K1 rungs agree on customers (sf0.001)") {
+    // q56's shape: global equal-length ed<=1 self-join. The depth-1
+    // deletion-signature rung must find exactly PassJoin K1's pairs.
+    val c = Tables.t(spark, sf, "customer").select(col("c_custkey"), col("c_name"))
+    def run(slenHint: Long) = EditDistanceJoin.selfJoinAuto(
+      c, "c_custkey", "c_name", k = 1,
+      maxBlockRowsHint = Some(EditDistanceJoin.BruteForceMaxBlock + 1),
+      strippedLenHint = Some(slenHint))
+      .orderBy(col("a_key"), col("b_key")).collect().toSeq
+    val sym = run(1L)
+    val pass = run(EditDistanceJoin.SymDeleteMaxStrippedLen + 1)
+    val brute = EditDistanceJoin.bruteForceSelfJoin(c, "c_custkey", "c_name", 1)
+      .orderBy(col("a_key"), col("b_key")).collect().toSeq
+    assert(brute.nonEmpty)
+    assert(sym == brute)
+    assert(pass == brute)
+  }
+
+  test("symdelete k=1 is lossless on a random variable-length corpus") {
+    import spark.implicits._
+    // ed<=1 includes insert/delete pairs (|Δlen| = 1), not just the
+    // equal-length substitutions selfJoinK1 is contracted to — symdelete
+    // must find those too. Corpus: shared prefix + suffixes of length
+    // 0..5 over a 3-letter alphabet (dense enough for many true pairs).
+    val rnd = new scala.util.Random(43)
+    val strs = (0L until 250L).map { i =>
+      (i, "ID#" + (0 until rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val df = strs.toDF("k", "s")
+    val a = df.select(col("k").as("ak"), col("s").as("an"))
+    val b = df.select(col("k").as("bk"), col("s").as("bn"))
+    val brute = a.crossJoin(b).filter(col("ak") < col("bk"))
+      .filter(levenshtein(col("an"), col("bn")) <= 1)
+      .select(col("ak"), col("bk"), levenshtein(col("an"), col("bn")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sym = EditDistanceJoin.selfJoinSymDelete(df, "k", "s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sym == brute,
+      s"missing=${brute.keySet -- sym.keySet} extra=${sym.keySet -- brute.keySet}")
+    assert(brute.nonEmpty)
+    assert(brute.values.exists(_ == 1L), "no ed=1 pairs — corpus too sparse")
   }
 }

@@ -8,14 +8,21 @@ its log. This stitches N logs (later logs override earlier cells, so a
 re-run after a fix replaces the failed cell), attaches the exclusion map,
 and emits the same suite_completion schema SuiteProbe itself writes.
 
+A query that crashed the JVM mid-run (or was wall-killed before printing
+its SUITE line) appears in NO log: the merged artifact must not silently
+present itself as complete while missing it (ADVICE r11). The expected
+registry is read from expected.txt (one query name per line); any name in
+neither cells nor the exclusion map lands in a "missing" list, counts
+toward a nonzero exit, and the artifact carries it.
+
 Usage: merge_suite.py out.json sf_dir cpus shuffle_parts \
-         excluded.json log1 [log2 ...]
+         excluded.json expected.txt log1 [log2 ...]
 """
 import json, re, sys
 
 def main():
-    out, sf_dir, cpus, parts, exc_path = sys.argv[1:6]
-    logs = sys.argv[6:]
+    out, sf_dir, cpus, parts, exc_path, expected_path = sys.argv[1:7]
+    logs = sys.argv[7:]
     cells = {}
     for path in logs:
         for line in open(path, errors="replace"):
@@ -28,12 +35,15 @@ def main():
     excluded = json.load(open(exc_path))
     for q in excluded:
         cells.pop(q, None)
+    expected = [l.strip() for l in open(expected_path) if l.strip()]
+    missing = sorted(set(expected) - set(cells) - set(excluded))
     failed = sum(1 for c in cells.values() if "error" in c)
     doc = {
         "metric": "suite_completion", "sf_dir": sf_dir,
         "cpus": int(cpus), "shuffle_partitions": int(parts),
         "queries": len(cells), "failed": failed,
         "excluded": excluded,
+        "missing": missing,
         "merged_from_logs": len(logs),
         "per_query": {q: cells[q] for q in sorted(cells)},
     }
@@ -41,7 +51,11 @@ def main():
         json.dump(doc, f)
         f.write("\n")
     print(f"{out}: {len(cells)} cells, failed {failed}, "
-          f"excluded {len(excluded)}")
+          f"excluded {len(excluded)}, missing {len(missing)}")
+    if missing:
+        print(f"MISSING (ran in no log, not excluded): {missing}",
+              file=sys.stderr)
+        sys.exit(1)
 
 if __name__ == "__main__":
     main()
