@@ -171,6 +171,25 @@ object Tables {
       }).longValue()
   }
 
+  /** Memoized timestamp-domain span (max - min, microseconds) for one
+    * column — the value-domain stat a catalog keeps as column min/max.
+    * Drives q87's range-join bucket width (r12, VERDICT r11 #5): the
+    * right bucket granularity is a function of the domain span and the
+    * row count, neither of which a constant can track across sfs. */
+  def cachedTsSpanMicros(spark: SparkSession, dir: String, name: String,
+                         colName: String): Long = {
+    val ver = new java.io.File(s"$dir/$name.parquet").lastModified
+    countCache.computeIfAbsent(
+      (spark.sparkContext.applicationId + "/" + System.identityHashCode(spark),
+        s"$dir@$ver", s"$name#tsspan($colName)"),
+      _ => java.lang.Long.valueOf {
+        val r = t(spark, dir, name)
+          .agg((max(unix_micros(col(colName))) -
+            min(unix_micros(col(colName)))).as("span")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }).longValue()
+  }
+
   /** Cast to DECIMAL(18,s) — exact, associative sums on both engines. */
   def dec(c: Column, s: Int = 2): Column = c.cast(s"decimal(18,$s)")
 

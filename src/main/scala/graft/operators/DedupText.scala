@@ -496,16 +496,16 @@ object DedupText {
           col("c_name").as("name"))
       val blockEst = Tables.cachedMaxBlockRows(s, d, "customer", "c_nationkey")
       val slen = Tables.cachedStrippedLen(s, d, "customer", "c_name")
+      // ratio is over FULL name lengths; the rungs emit them alongside
+      // lev (withLens — the strings are in hand at verify time), which
+      // replaced the r11 design's two output-sized re-attach joins
+      // against a (key, len) projection: at sf100 those joins shuffled
+      // the ~700M-row pair stream twice (~50 GB) to recover two ints the
+      // verify already saw.
       val pairs = EditDistanceJoin.selfJoinAuto(base, "key", "name", k = 2,
         blockCols = Seq("nk"), maxBlockRowsHint = Some(blockEst),
-        strippedLenHint = Some(slen))
-      // ratio is over FULL name lengths; the pair stream carries keys and
-      // the full-string lev only, so lengths re-attach via two
-      // output-sized joins against the (key, len) projection
-      val lens = base.select(col("key"), length(col("name")).as("len"))
+        strippedLenHint = Some(slen), withLens = true)
       pairs
-        .join(lens.select(col("key").as("a_key"), col("len").as("a_len")), "a_key")
-        .join(lens.select(col("key").as("b_key"), col("len").as("b_len")), "b_key")
         .select(col("nk"), col("a_key"), col("b_key"), col("lev"),
           round(lit(1.0) - col("lev").cast("double") /
             greatest(col("a_len"), col("b_len")), 6).as("ratio"))

@@ -36,9 +36,21 @@ object EditDistanceJoin {
     * ZERO shift — the probe side IS the index side and the candidate join
     * is a plain self-equi-join on (seg_idx, seg). r5: the earlier ±1
     * probe shifts (correct for the general case) were pure candidate
-    * waste here; dropping them halves probe rows. */
+    * waste here; dropping them halves probe rows.
+    *
+    * `withLens` (r12, all four rungs): additionally emit the FULL-string
+    * lengths a_len/b_len. Consumers that derive length-normalized scores
+    * (q38's similarity ratio) otherwise re-attach lengths to the PAIR
+    * stream through two output-sized shuffle joins — but the strings are
+    * already in hand at verify time, so the lengths ride the existing
+    * aggregate as two functionally-dependent min() columns instead
+    * (stripped length + the common-prefix length = full length). At the
+    * sf100 shape that replaced ~50 GB of join shuffle with ~6 GB of agg
+    * width. Off by default: output-bound consumers (q56/q79) should not
+    * pay the extra agg columns. */
   def selfJoinK1(df: DataFrame, keyCol: String, strCol: String,
-                 blockCols: Seq[String] = Nil): DataFrame = {
+                 blockCols: Seq[String] = Nil,
+                 withLens: Boolean = false): DataFrame = {
     // corpus common prefix from the lexicographic extremes (two scalars)
     val mm = df.agg(min(col(strCol)).as("mn"), max(col(strCol)).as("mx")).head()
     val (mn, mx) = (mm.getString(0), mm.getString(1))
@@ -75,12 +87,15 @@ object EditDistanceJoin {
     // (a_key, b_key, lev) ints, with partial aggregation collapsing
     // duplicate candidates before they move. With blockCols the candidate
     // equi-join ALSO keys on the block — pairs never cross blocks.
+    val aggs = min(col("lev")).as("lev") +: (if (!withLens) Nil else Seq(
+      min(length(col("a_sfx")) + lit(plen)).as("a_len"),
+      min(length(col("b_sfx")) + lit(plen)).as("b_len")))
     index.join(probe, blockCols ++ Seq("sig"))
       .filter(col("a_key") < col("b_key"))
       .withColumn("lev", levenshtein_k(col("a_sfx"), col("b_sfx"), 1).cast("long"))
       .filter(col("lev") >= 0)
       .groupBy((blockCols.map(col) :+ col("a_key") :+ col("b_key")): _*)
-      .agg(min(col("lev")).as("lev"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** PassJoin generalized to ed <= 2 over VARIABLE-LENGTH strings — the
@@ -124,7 +139,8 @@ object EditDistanceJoin {
     * result is value-identical to bruteForceSelfJoin on ANY corpus and
     * selfJoinAuto's crossover can never change results. */
   def selfJoinK2(df: DataFrame, keyCol: String, strCol: String,
-                 blockCols: Seq[String] = Nil): DataFrame = {
+                 blockCols: Seq[String] = Nil,
+                 withLens: Boolean = false): DataFrame = {
     def lenE(i: Int, l: String) = i match {
       case 0 => s"($l div 3)"
       case 1 => s"(($l div 3) + (CASE WHEN $l % 3 = 2 THEN 1 ELSE 0 END))"
@@ -179,11 +195,16 @@ object EditDistanceJoin {
     // levenshtein, then dedup duplicate candidates on INTEGER keys only —
     // the partial aggregate collapses dups map-side, so the only wide
     // shuffle carries (a_key, b_key, lev) ints, never candidate strings.
+    val lensOf: (String, String) => Seq[Column] = (a, b) =>
+      if (!withLens) Nil
+      else Seq((length(col(a)) + lit(plen)).as("a_len"),
+        (length(col(b)) + lit(plen)).as("b_len"))
     val segPairs = idx.join(probe, blockCols ++ Seq("sig"))
       .filter(col("a_key") < col("b_key"))
       .withColumn("lev", levenshtein_k(col("a_str"), col("b_str"), 2).cast("long"))
       .filter(col("lev") >= 0)
-      .select((bc ++ Seq(col("a_key"), col("b_key"), col("lev"))): _*)
+      .select((bc ++ Seq(col("a_key"), col("b_key"), col("lev")) ++
+        lensOf("a_str", "b_str")): _*)
     // Rows whose stripped suffix is shorter than 3 chars can't be
     // segmented into three non-empty segments. Pre-r10 they were
     // silently DROPPED (the documented precondition) — so crossing
@@ -199,12 +220,19 @@ object EditDistanceJoin {
     // blowup. Deletion signatures on n < 5 cost <= C(4,<=2) = 11 sigs per
     // row, and the subset is empty on well-shaped corpora. Pairs with
     // both sides in [3, 5) are also found by segPairs — same (keys, lev)
-    // row, collapsed by the shared min-groupBy below.
-    val shortPairs = selfJoinSymDeleteK2(
-      baseAll.filter(length(col("str")) < 5), "key", "str", blockCols)
+    // row, collapsed by the shared min-groupBy below. The channel is fed
+    // the ORIGINAL strings filtered on stripped length (r12): symdelete
+    // re-strips the sub-corpus's own common prefix (a superset of this
+    // one — lev is prefix-invariant either way), and feeding it originals
+    // keeps its withLens output full-string lengths.
+    val shortPairs = selfJoinSymDelete(
+      df.filter(length(substring(col(strCol), plen + 1, Int.MaxValue)) < 5),
+      keyCol, strCol, 2, blockCols, withLens)
+    val aggs = min(col("lev")).as("lev") +: (if (!withLens) Nil else
+      Seq(min(col("a_len")).as("a_len"), min(col("b_len")).as("b_len")))
     segPairs.union(shortPairs)
       .groupBy((bc :+ col("a_key") :+ col("b_key")): _*)
-      .agg(min(col("lev")).as("lev"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Symmetric-delete (SymSpell-style) ed <= k self-join for SHORT strings
@@ -235,7 +263,8 @@ object EditDistanceJoin {
     * wide shuffle after the signature join carries (a_key, b_key, lev)
     * ints with map-side partial aggregation. */
   def selfJoinSymDelete(df: DataFrame, keyCol: String, strCol: String,
-                        k: Int, blockCols: Seq[String] = Nil): DataFrame = {
+                        k: Int, blockCols: Seq[String] = Nil,
+                        withLens: Boolean = false): DataFrame = {
     require(k == 1 || k == 2, s"symmetric-delete rung supports k in {1,2}, got $k")
     val mm = df.agg(min(col(strCol)).as("mn"), max(col(strCol)).as("mx")).head()
     val plen =
@@ -282,13 +311,16 @@ object EditDistanceJoin {
     // sf100 run's disk killer — the sorts spilled past the box's free
     // disk) for no benefit; a per-partition hash build is bounded by
     // rows/width and scales with the shuffle-partition count.
+    val aggs = min(col("lev")).as("lev") +: (if (!withLens) Nil else Seq(
+      min(length(col("a_str")) + lit(plen)).as("a_len"),
+      min(length(col("b_str")) + lit(plen)).as("b_len")))
     sigs("a_key", "a_str").hint("shuffle_hash")
       .join(sigs("b_key", "b_str"), blockCols :+ "sig")
       .filter(col("a_key") < col("b_key"))
       .withColumn("lev", levenshtein_k(col("a_str"), col("b_str"), k).cast("long"))
       .filter(col("lev") >= 0)
       .groupBy((bc :+ col("a_key") :+ col("b_key")): _*)
-      .agg(min(col("lev")).as("lev"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** The k = 2 form under its original name (q83, selfJoinK2's
@@ -309,7 +341,8 @@ object EditDistanceJoin {
     * before the string compare. Output schema/values match selfJoinK1/K2
     * exactly (full-string distance, one row per pair). */
   def bruteForceSelfJoin(df: DataFrame, keyCol: String, strCol: String,
-                         k: Int, blockCols: Seq[String] = Nil): DataFrame = {
+                         k: Int, blockCols: Seq[String] = Nil,
+                         withLens: Boolean = false): DataFrame = {
     // distinct column names per side: self-join attribute resolution on two
     // frames derived from the same parent is ambiguous otherwise
     val a = df.select((blockCols.map(c => col(c).as(s"__a_$c")) :+
@@ -328,7 +361,9 @@ object EditDistanceJoin {
     a.join(b, blockPred && col("a_key") < col("b_key") &&
         abs(length(col("a_str")) - length(col("b_str"))) <= k && lv >= 0)
       .select((blockCols.map(c => col(s"__a_$c").as(c)) :+
-        col("a_key") :+ col("b_key") :+ lv.cast("long").as("lev")): _*)
+        col("a_key") :+ col("b_key") :+ lv.cast("long").as("lev")) ++
+        (if (!withLens) Nil else Seq(length(col("a_str")).as("a_len"),
+          length(col("b_str")).as("b_len"))): _*)
   }
 
   /** Data-shape strategy selection (pure function, unit-tested): brute
@@ -390,7 +425,8 @@ object EditDistanceJoin {
                    blockCols: Seq[String] = Nil,
                    threshold: Long = BruteForceMaxBlock,
                    maxBlockRowsHint: Option[Long] = None,
-                   strippedLenHint: Option[Long] = None): DataFrame = {
+                   strippedLenHint: Option[Long] = None,
+                   withLens: Boolean = false): DataFrame = {
     val maxBlock = maxBlockRowsHint.getOrElse {
       if (blockCols.isEmpty) {
         val stats = df.queryExecution.optimizedPlan.stats
@@ -400,7 +436,8 @@ object EditDistanceJoin {
         .agg(max(col("count"))).head().getLong(0)
     }
     chooseStrategy(maxBlock, threshold) match {
-      case "brute" => bruteForceSelfJoin(df, keyCol, strCol, k, blockCols)
+      case "brute" =>
+        bruteForceSelfJoin(df, keyCol, strCol, k, blockCols, withLens)
       case _ =>
         val strippedLen = strippedLenHint.getOrElse {
           val r = df.agg(min(col(strCol)).as("mn"), max(col(strCol)).as("mx"),
@@ -414,9 +451,10 @@ object EditDistanceJoin {
         }
         chooseCandidateScheme(strippedLen, k) match {
           case "symdelete" =>
-            selfJoinSymDelete(df, keyCol, strCol, k, blockCols)
-          case _ if k <= 1 => selfJoinK1(df, keyCol, strCol, blockCols)
-          case _ => selfJoinK2(df, keyCol, strCol, blockCols)
+            selfJoinSymDelete(df, keyCol, strCol, k, blockCols, withLens)
+          case _ if k <= 1 =>
+            selfJoinK1(df, keyCol, strCol, blockCols, withLens)
+          case _ => selfJoinK2(df, keyCol, strCol, blockCols, withLens)
         }
     }
   }

@@ -303,18 +303,39 @@ object EventOps {
     * shape the brief's custom-operator list names alongside as-of): events
     * against 2-hour windows. The naive plan for `ts BETWEEN start AND end`
     * is a pair-exploding BroadcastNestedLoopJoin; the scale rewrite
-    * buckets time into epoch-hours — each window EXPLODES into the 3 hour
-    * buckets it can overlap, each event lands in EXACTLY ONE bucket (so
-    * every true pair meets exactly once — no dedup), the join is a plain
-    * equi-join on the bucket, and the precise range predicate filters
-    * map-side. O(n + m·3) join input instead of O(n·m) pairs; at 100 TB
-    * the hour bucket is the shuffle key. */
+    * buckets time — each window EXPLODES into every bucket it can
+    * overlap, each event lands in EXACTLY ONE bucket (so every true pair
+    * meets exactly once — no dedup), the join is a plain equi-join on the
+    * bucket, and the precise range predicate filters map-side. At 100 TB
+    * the bucket is the shuffle key.
+    *
+    * Bucket width is DERIVED from the value-domain stats (r12, VERDICT
+    * r11 #5 — the fixed epoch-hour bucket was the slowest sf100 cell):
+    * with window width W, domain span S and n events, a width-w bucketing
+    * streams n·m·(W + w)/S candidate rows into the verify (each of the m
+    * windows overlaps (W/w + 1) buckets of n·w/S events), while the
+    * window side explodes into m·(W/w + 1) rows — the first term falls
+    * and the second grows as w shrinks, crossing at w* = sqrt(W·S/n),
+    * i.e. the geometric mean of the window width and the mean event gap.
+    * The time domain here is FIXED while events densify (ScaleGen shifts
+    * keys, never timestamps), so the candidate stream grows ~quadratically
+    * per decade and the hourly constant drifts ever further from w*: at
+    * sf100 (100M events / 30 days) hourly buckets carry 1.5x the true-pair
+    * floor (~83B vs ~56B rows) where w* = 13.7s carries ~1.003x. Width is
+    * clamped to [1s, 1h] and the stats are the memoized catalog scalars
+    * (row count + ts span), so plan time pays two map lookups. Bucketing
+    * never changes values — only which equi-buckets pairs meet in. */
   private val q87 = GraftQuery(
     "q87_range_join_bucketed",
     (s, d) => {
       val MicrosPerHour = 3600000000L
+      val WinMicros = 2L * MicrosPerHour
+      val nEv = math.max(Tables.cachedRowCount(s, d, "events"), 1L)
+      val span = Tables.cachedTsSpanMicros(s, d, "events", "ts")
+      val w = math.max(1000000L, math.min(MicrosPerHour,
+        math.round(math.sqrt(WinMicros.toDouble * span / nEv))))
       def hb(c: org.apache.spark.sql.Column) =
-        expr(s"unix_micros(${c.toString}) div $MicrosPerHour")
+        expr(s"unix_micros(${c.toString}) div ${w}L")
       val ev = t(s, d, "events")
       val win = ev.filter(col("event_id") % 499 === 0)
         .select(col("event_id").as("win_id"), col("ts").as("w_start"),

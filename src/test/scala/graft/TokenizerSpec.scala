@@ -128,6 +128,36 @@ class TokenizerSpec extends SparkSpec {
     assert(pass == brute)
   }
 
+  test("withLens emits exact full-string lengths on every rung, incl. the short-suffix channel") {
+    import spark.implicits._
+    // Shared "DOC:" prefix + variable suffixes down to EMPTY: K2's
+    // short-suffix channel re-strips its sub-corpus's own (longer) common
+    // prefix, and withLens must still report ORIGINAL full-string lengths
+    // (the r12 subtlety: the channel is fed original strings, not the
+    // K2-stripped ones). Reference = brute crossJoin with real lengths.
+    val rnd = new scala.util.Random(47)
+    val strs = (0L until 220L).map { i =>
+      (i, "DOC:" + (0 until rnd.nextInt(7)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    }
+    val df = strs.toDF("k", "s")
+    val a = df.select(col("k").as("ak"), col("s").as("an"))
+    val b = df.select(col("k").as("bk"), col("s").as("bn"))
+    val brute = a.crossJoin(b).filter(col("ak") < col("bk"))
+      .filter(levenshtein(col("an"), col("bn")) <= 2)
+      .select(col("ak"), col("bk"), length(col("an")), length(col("bn")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getInt(3))).toMap
+    for ((name, got) <- Seq(
+      "selfJoinK2" -> EditDistanceJoin.selfJoinK2(df, "k", "s", withLens = true),
+      "symdelete" -> EditDistanceJoin.selfJoinSymDelete(df, "k", "s", 2, withLens = true),
+      "brute" -> EditDistanceJoin.bruteForceSelfJoin(df, "k", "s", 2, withLens = true))) {
+      val m = got.select(col("a_key"), col("b_key"), col("a_len"), col("b_len"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getInt(3))).toMap
+      assert(m == brute, s"$name lens mismatch: " +
+        s"diff=${(m.toSet diff brute.toSet).take(5)} missing=${(brute.keySet -- m.keySet).take(5)}")
+    }
+    assert(brute.nonEmpty)
+  }
+
   test("symdelete k=1 is lossless on a random variable-length corpus") {
     import spark.implicits._
     // ed<=1 includes insert/delete pairs (|Δlen| = 1), not just the
