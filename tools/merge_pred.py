@@ -1,15 +1,17 @@
 #!/usr/bin/env python3
-"""Assemble PRED_sf100.json from the r11 re-recorded rows plus the rows
-carried from the r10 artifact (code unchanged for those), with per-row
-provenance and the scope-out map.
+"""Assemble a PRED artifact from newly recorded rows plus the rows
+carried from the previous artifact (operator code unchanged for those),
+with per-row provenance and the scope-out map. Tags are explicit args
+(r12: they were hardcoded round names).
 
-Usage: merge_pred.py out.json carried.json excluded.json new1.json [new2...]
+Usage: merge_pred.py out.json carried.json carried_tag excluded.json \
+         new_tag new1.json [new2...]
 """
 import json, sys
 
 def main():
-    out, carried_path, exc_path = sys.argv[1:4]
-    news = sys.argv[4:]
+    out, carried_path, carried_tag, exc_path, new_tag = sys.argv[1:6]
+    news = sys.argv[6:]
     carried = json.load(open(carried_path))
     new_rows = {}
     base = None
@@ -17,12 +19,13 @@ def main():
         d = json.load(open(p))
         base = base or d
         for r in d["results"]:
-            r["recorded"] = "r11"
+            r["recorded"] = new_tag
             new_rows[r["query"]] = r
     rows = list(new_rows.values())
     for r in carried["results"]:
         if r["query"] not in new_rows:
-            r["recorded"] = "r10-carried (operator code unchanged in r11)"
+            r["recorded"] = (r.get("recorded", "prior") + " | " + carried_tag
+                if r.get("recorded") else carried_tag)
             rows.append(r)
     failed = sum(1 for r in rows if not r.get("ok"))
     doc = {
@@ -35,7 +38,7 @@ def main():
     with open(out, "w") as f:
         json.dump(doc, f)
         f.write("\n")
-    print(f"{out}: {len(rows)} rows ({len(new_rows)} r11), failed {failed}")
+    print(f"{out}: {len(rows)} rows ({len(new_rows)} {new_tag}), failed {failed}")
 
 if __name__ == "__main__":
     main()

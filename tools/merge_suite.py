@@ -15,26 +15,35 @@ registry is read from expected.txt (one query name per line); any name in
 neither cells nor the exclusion map lands in a "missing" list, counts
 toward a nonzero exit, and the artifact carries it.
 
+Each log may be passed as TAG=path (e.g. r12-quiet-sweep=slow.log); the
+emitted artifact carries a "provenance" map naming, per cell, the tag of
+the log that provided it (VERDICT r11 #6: a reader must be able to tell
+re-measured cells from carried ones). Bare paths get log<i> tags.
+
 Usage: merge_suite.py out.json sf_dir cpus shuffle_parts \
-         excluded.json expected.txt log1 [log2 ...]
+         excluded.json expected.txt [TAG=]log1 [[TAG=]log2 ...]
 """
 import json, re, sys
 
 def main():
     out, sf_dir, cpus, parts, exc_path, expected_path = sys.argv[1:7]
     logs = sys.argv[7:]
-    cells = {}
-    for path in logs:
+    cells, provenance = {}, {}
+    for i, spec in enumerate(logs):
+        tag, _, path = spec.rpartition("=")
+        tag = tag or f"log{i}"
         for line in open(path, errors="replace"):
             m = re.match(r"SUITE (q\S+) (\{.*\})\s*$", line)
             if m:
                 try:
                     cells[m.group(1)] = json.loads(m.group(2))
+                    provenance[m.group(1)] = tag
                 except json.JSONDecodeError:
                     pass
     excluded = json.load(open(exc_path))
     for q in excluded:
         cells.pop(q, None)
+        provenance.pop(q, None)
     expected = [l.strip() for l in open(expected_path) if l.strip()]
     missing = sorted(set(expected) - set(cells) - set(excluded))
     failed = sum(1 for c in cells.values() if "error" in c)
@@ -45,6 +54,7 @@ def main():
         "excluded": excluded,
         "missing": missing,
         "merged_from_logs": len(logs),
+        "provenance": {q: provenance[q] for q in sorted(provenance)},
         "per_query": {q: cells[q] for q in sorted(cells)},
     }
     with open(out, "w") as f:
