@@ -137,10 +137,30 @@ object EditDistanceJoin {
     * can't form three non-empty segments) are paired through a bounded
     * brute-force side channel — see the shortPairs branch — so the
     * result is value-identical to bruteForceSelfJoin on ANY corpus and
-    * selfJoinAuto's crossover can never change results. */
+    * selfJoinAuto's crossover can never change results.
+    *
+    * `exactlyOnce` (r12 — the q79 storage-wall fix): emit each true pair
+    * from exactly ONE candidate row instead of deduplicating through the
+    * distinct-pair groupBy. A pair can match at several (seg_idx, shift)
+    * windows; the canonical witness is the FIRST valid string-matching
+    * window in the fixed order (0,0) < (1,-1) < (1,0) < (1,1) < (2,Δ),
+    * and each candidate row keeps itself iff its own window string-matches
+    * (collision-proof: hash matches that aren't string matches drop) and
+    * no earlier valid window does — at most 4 extra short-substring
+    * compares per candidate, evaluated map-side. The leftmost true match
+    * always exists as a candidate row (a string match implies its hash
+    * match), so exactly one row per pair survives and the output needs NO
+    * aggregate: the r11 sf100 q79 kernel cell died materializing the
+    * ~5.5B-pair groupBy state (108 GB of spill); exactly-once emission
+    * deletes that operator entirely. Values are identical by construction
+    * (same pair set, same full-string lev on the surviving row) — pinned
+    * by the multiplicity + agreement property tests. The short-suffix
+    * channel is then restricted to pairs touching a sub-3-char suffix
+    * (its only non-overlap with segPairs), keeping the union disjoint. */
   def selfJoinK2(df: DataFrame, keyCol: String, strCol: String,
                  blockCols: Seq[String] = Nil,
-                 withLens: Boolean = false): DataFrame = {
+                 withLens: Boolean = false,
+                 exactlyOnce: Boolean = false): DataFrame = {
     def lenE(i: Int, l: String) = i match {
       case 0 => s"($l div 3)"
       case 1 => s"(($l div 3) + (CASE WHEN $l % 3 = 2 THEN 1 ELSE 0 END))"
@@ -165,12 +185,18 @@ object EditDistanceJoin {
     // Both sides key on the fused xxhash64(seg_idx, tlen, seg) INT — see
     // selfJoinK1's rationale (measured 4.7 s -> 4.0 s here at sf0.1; a
     // collision only adds a candidate the verify drops).
-    val idx = base
+    val idxSigs = (0 until 3).map(i =>
+      s"xxhash64($i, tlen, substr(a_str, ${startE(i, "tlen")}, ${lenE(i, "tlen")}))")
+    val idx0 = base
       .selectExpr(withBc("key AS a_key", "str AS a_str", "length(str) AS tlen"): _*)
-      .selectExpr(withBc("a_key", "a_str",
-        "explode(array(" + (0 until 3).map(i =>
-          s"xxhash64($i, tlen, substr(a_str, ${startE(i, "tlen")}, ${lenE(i, "tlen")}))")
-          .mkString(", ") + ")) AS sig"): _*)
+    val idx =
+      if (!exactlyOnce) idx0.selectExpr(withBc("a_key", "a_str",
+        "explode(array(" + idxSigs.mkString(", ") + ")) AS sig"): _*)
+      // exactlyOnce keeps the emitting segment's index so the join can
+      // re-check the identity the fused hash encodes (see probeCarry)
+      else idx0.selectExpr(withBc("a_key", "a_str",
+        "inline(array(" + idxSigs.zipWithIndex.map { case (h, i) =>
+          s"struct($i AS i_idx, $h AS sig)" }.mkString(", ") + "))"): _*)
     // Multi-match-aware probe windows (see scaladoc): each struct carries
     // its shift δ (dl) so the Δ-window filter below can apply the second
     // bound uniformly as |δ - Δ| <= k - seg_idx. The δ ∈ [-s, +s] bound is
@@ -180,6 +206,13 @@ object EditDistanceJoin {
       Seq(s"struct(0 AS seg_idx, 1 AS st, ${lenE(0, "tlen")} AS sl, 0 AS dl)") ++
       (-1 to 1).map(dl => s"struct(1 AS seg_idx, (${startE(1, "tlen")} + $dl) AS st, ${lenE(1, "tlen")} AS sl, $dl AS dl)") ++
       Seq(s"struct(2 AS seg_idx, (m - ${lenE(2, "tlen")} + 1) AS st, ${lenE(2, "tlen")} AS sl, (m - tlen) AS dl)")
+    // exactlyOnce carries the row's own window identity (seg_idx, dl) —
+    // plus tlen, pinned to length(a_str) below: under groupBy-dedup a
+    // fused-hash collision only ADDS a candidate the verify drops, but
+    // under exactly-once emission a cross-tlen collision on the same
+    // (pair, window) would emit a DUPLICATE row, so the identity the
+    // hash fuses is re-checked exactly.
+    val probeCarry = if (exactlyOnce) Seq("seg_idx", "dl", "tlen") else Nil
     val probe = base
       .selectExpr(withBc("key AS b_key", "str AS b_str", "length(str) AS m"): _*)
       .selectExpr(withBc("b_key", "b_str", "m",
@@ -189,8 +222,9 @@ object EditDistanceJoin {
         "inline(array(" + probeStructs.mkString(", ") + "))"): _*)
       .filter(col("st") >= 1 && col("st") + col("sl") - 1 <= col("m") &&
         abs(col("dl") - (col("m") - col("tlen"))) <= lit(2) - col("seg_idx"))
-      .selectExpr(withBc("b_key", "b_str",
-        "xxhash64(seg_idx, tlen, substr(b_str, st, sl)) AS sig"): _*)
+      .selectExpr(withBc(Seq("b_key", "b_str",
+        "xxhash64(seg_idx, tlen, substr(b_str, st, sl)) AS sig") ++
+        probeCarry: _*): _*)
     // Verify IMMEDIATELY with the thresholded (banded, early-abandon)
     // levenshtein, then dedup duplicate candidates on INTEGER keys only —
     // the partial aggregate collapses dups map-side, so the only wide
@@ -199,8 +233,43 @@ object EditDistanceJoin {
       if (!withLens) Nil
       else Seq((length(col(a)) + lit(plen)).as("a_len"),
         (length(col(b)) + lit(plen)).as("b_len"))
-    val segPairs = idx.join(probe, blockCols ++ Seq("sig"))
+    // Leftmost-witness keep-filter (exactlyOnce): with tlen = length(a_str)
+    // and m = length(b_str), window (i, d) string-matches iff segment i of
+    // a_str equals the b_str substring at its start shifted by d, and is
+    // VALID iff the probe would have emitted it (the Δ-window + bounds the
+    // probe filter applies). The row keeps itself iff its own window
+    // matches and no earlier valid window does.
+    def eqW(i: Int, d: String): String = {
+      val st = s"(${startE(i, "length(a_str)")} + ($d))"
+      val ln = lenE(i, "length(a_str)")
+      s"(substr(a_str, ${startE(i, "length(a_str)")}, $ln) = substr(b_str, $st, $ln))"
+    }
+    def validW(i: Int, d: String): String = {
+      val st = s"(${startE(i, "length(a_str)")} + ($d))"
+      val ln = lenE(i, "length(a_str)")
+      s"(abs(($d) - (length(b_str) - length(a_str))) <= ${2 - i} AND " +
+        s"$st >= 1 AND $st + $ln - 1 <= length(b_str))"
+    }
+    def hitW(i: Int, d: String) = s"(${validW(i, d)} AND ${eqW(i, d)})"
+    val keepExpr =
+      s"""CASE seg_idx
+         WHEN 0 THEN ${eqW(0, "0")}
+         WHEN 1 THEN ${eqW(1, "dl")} AND NOT ${hitW(0, "0")}
+           AND NOT (dl > -1 AND ${hitW(1, "-1")})
+           AND NOT (dl > 0 AND ${hitW(1, "0")})
+         ELSE ${eqW(2, "length(b_str) - length(a_str)")} AND NOT ${hitW(0, "0")}
+           AND NOT ${hitW(1, "-1")} AND NOT ${hitW(1, "0")}
+           AND NOT ${hitW(1, "1")}
+         END"""
+    val joined0 = idx.join(probe, blockCols ++ Seq("sig"))
       .filter(col("a_key") < col("b_key"))
+    val joined =
+      if (exactlyOnce)
+        joined0.filter(col("tlen") === length(col("a_str")) &&
+            col("i_idx") === col("seg_idx"))
+          .filter(expr(keepExpr))
+      else joined0
+    val segPairs = joined
       .withColumn("lev", levenshtein_k(col("a_str"), col("b_str"), 2).cast("long"))
       .filter(col("lev") >= 0)
       .select((bc ++ Seq(col("a_key"), col("b_key"), col("lev")) ++
@@ -225,14 +294,28 @@ object EditDistanceJoin {
     // re-strips the sub-corpus's own common prefix (a superset of this
     // one — lev is prefix-invariant either way), and feeding it originals
     // keeps its withLens output full-string lengths.
-    val shortPairs = selfJoinSymDelete(
+    val shortAll = selfJoinSymDelete(
       df.filter(length(substring(col(strCol), plen + 1, Int.MaxValue)) < 5),
-      keyCol, strCol, 2, blockCols, withLens)
-    val aggs = min(col("lev")).as("lev") +: (if (!withLens) Nil else
-      Seq(min(col("a_len")).as("a_len"), min(col("b_len")).as("b_len")))
-    segPairs.union(shortPairs)
-      .groupBy((bc :+ col("a_key") :+ col("b_key")): _*)
-      .agg(aggs.head, aggs.tail: _*)
+      keyCol, strCol, 2, blockCols, withLens = withLens || exactlyOnce)
+    if (!exactlyOnce) {
+      val aggs = min(col("lev")).as("lev") +: (if (!withLens) Nil else
+        Seq(min(col("a_len")).as("a_len"), min(col("b_len")).as("b_len")))
+      segPairs.union(shortAll)
+        .groupBy((bc :+ col("a_key") :+ col("b_key")): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    } else {
+      // Disjoint channels, no aggregate: segPairs holds exactly the pairs
+      // with BOTH stripped sides >= 3 (base filters the corpus), so the
+      // short channel keeps only pairs touching a sub-3-char suffix
+      // (stripped length = full length - plen; symdelete's output is
+      // already one row per pair via its own groupBy).
+      val outCols = bc ++ Seq(col("a_key"), col("b_key"), col("lev")) ++
+        (if (withLens) Seq(col("a_len"), col("b_len")) else Nil)
+      val shortOnly = shortAll
+        .filter(least(col("a_len"), col("b_len")) - lit(plen) < 3)
+        .select(outCols: _*)
+      segPairs.union(shortOnly)
+    }
   }
 
   /** Symmetric-delete (SymSpell-style) ed <= k self-join for SHORT strings
@@ -511,16 +594,22 @@ object EditDistanceJoin {
     * part names are drawn from a ~92-word vocabulary, so at sf0.1 ~2.75%
     * of ALL pairs are true ed<=2 matches (5.5M result rows from 20k
     * strings); verification cost tracks the true result size, which no
-    * candidate scheme can beat. The plan itself is scale-clean: segment
-    * equi-join, banded thresholded levenshtein map-side, and an
-    * integer-only shuffle with map-side partial aggregation. */
+    * candidate scheme can beat. The plan is scale-clean: segment
+    * equi-join, banded thresholded levenshtein map-side, and — r12 —
+    * EXACTLY-ONCE emission via the leftmost-witness filter, so the pair
+    * stream carries no aggregate at all: the r11-era distinct-pair
+    * groupBy materialized ~5.5B pairs of hash state at sf100 and died at
+    * the box's 108 GB spill wall; with exactly-once the kernel's only
+    * wide shuffles are the signature streams, and an order-insensitive
+    * consumer (SuiteProbe's sum cell) aggregates the pair stream fully
+    * map-side. */
   private val q79 = GraftQuery(
     "q79_passjoin_k2_varlen",
     (s, d) => {
       val p = t(s, d, "part")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("p_partkey"), col("p_name"))
-      selfJoinK2(p, "p_partkey", "p_name")
+      selfJoinK2(p, "p_partkey", "p_name", exactlyOnce = true)
         .select(col("a_key"), col("b_key"), col("lev"))
         .orderBy(col("a_key"), col("b_key"))
     },

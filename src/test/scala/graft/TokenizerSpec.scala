@@ -158,6 +158,45 @@ class TokenizerSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("exactly-once PassJoin k=2 emits each pair once with values identical to the groupBy path") {
+    import spark.implicits._
+    // Three corpora: (a) the short-suffix channel-overlap shape (shared
+    // prefix, suffixes 0..6 incl. empty/dups — pairs split across the
+    // segment and symdelete channels, which must stay DISJOINT under
+    // exactly-once emission); (b) a dense low-alphabet corpus where pairs
+    // match at MANY (seg_idx, shift) windows (the multiplicity stress);
+    // (c) real part names (q79's shape).
+    val rnd = new scala.util.Random(53)
+    val corpusA = (0L until 220L).map { i =>
+      (i, "DOC:" + (0 until rnd.nextInt(7)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    }
+    val corpusB = (0L until 300L).map { i =>
+      (i, (0 until 6 + rnd.nextInt(3)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    }
+    val corpora: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "short-suffix" -> corpusA.toDF("k", "s"),
+      "low-alphabet" -> corpusB.toDF("k", "s"),
+      "part-names" -> Tables.t(spark, sf, "part")
+        .select(col("p_partkey").as("k"), col("p_name").as("s")))
+    for ((name, df) <- corpora) {
+      val ref = EditDistanceJoin.selfJoinK2(df, "k", "s", withLens = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+      val onceRows = EditDistanceJoin
+        .selfJoinK2(df, "k", "s", withLens = true, exactlyOnce = true)
+        .collect()
+      val once = onceRows.map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+      assert(onceRows.length == once.size,
+        s"$name: duplicate emissions — ${onceRows.length} rows for ${once.size} pairs")
+      assert(once == ref, s"$name: value mismatch — " +
+        s"missing=${(ref.keySet -- once.keySet).take(5)} " +
+        s"extra=${(once.keySet -- ref.keySet).take(5)} " +
+        s"diff=${once.collect { case (k, v) if ref.get(k).exists(_ != v) => k }.take(5)}")
+      assert(ref.nonEmpty, s"$name: corpus produced no pairs")
+    }
+  }
+
   test("symdelete k=1 is lossless on a random variable-length corpus") {
     import spark.implicits._
     // ed<=1 includes insert/delete pairs (|Δlen| = 1), not just the
