@@ -333,8 +333,16 @@ object Bench {
         // residual_inflation flag, and adjusted_total. The pair STAYS in
         // the pool (the r10 fix's goal — asymmetry is the signal); only
         // its sub-noise side(s) are bounded.
+        val clampFloor = 0.05
         val ratios = shared.map { case (n, t) =>
-          math.max(t, 0.05) / math.max(ref(n), 0.05) }.sorted
+          math.max(t, clampFloor) / math.max(ref(n), clampFloor) }.sorted
+        // the number of pairs whose ratio was floor-bounded on either side
+        // rides into the artifact (ADVICE r12): a regression that stays
+        // UNDER the floor (4 ms -> 45 ms) contributes ratio 1.0 and is
+        // invisible to the median — a reader must be able to tell how much
+        // of the pool is floor-bound before trusting the flag.
+        val clamped = shared.count { case (n, t) =>
+          t < clampFloor || ref(n) < clampFloor }
         val med = ratios(ratios.size / 2)
         val tot = shared.map(_._2).sum
         val refTot = shared.map { case (n, _) => ref(n) }.sum
@@ -344,7 +352,7 @@ object Bench {
         // mistake box weather for a regression (median, not total ratio:
         // one genuine single-query regression must not deflate the rest).
         val adj = results.map(_._2).filter(_ >= 0).sum / med
-        s""""quiet_ref":{"shared":${shared.size},"excluded":$excluded,"total":${f3(tot)},"ref_total":${f3(refTot)},"median_query_ratio":${f3(med)},"residual_inflation":${med > 1.15},"adjusted_total":${f3(adj)}}"""
+        s""""quiet_ref":{"shared":${shared.size},"excluded":$excluded,"total":${f3(tot)},"ref_total":${f3(refTot)},"clamp_floor":$clampFloor,"clamped_pairs":$clamped,"median_query_ratio":${f3(med)},"residual_inflation":${med > 1.15},"adjusted_total":${f3(adj)}}"""
       }
     }.getOrElse(""""quiet_ref":{"shared":0}""")
     // Full per-query map + ALL raw passes go to the file only: with 100+
@@ -354,11 +362,33 @@ object Bench {
     // capture can always hold. Raw passes let a reader attribute a bad
     // total to a single contended pass instead of guessing (r3's per-query
     // driver detail was lost; r4's couldn't separate pass-level noise).
+    // Measured-tree provenance (VERDICT r12 #2): the r12 "best quiet bench
+    // on record" claim silently measured code a later commit replaced. The
+    // artifact now records the git commit of the tree it measured (plus a
+    // dirty flag for uncommitted src/build changes), and the promotion
+    // tool (tools/promote_quiet.py) refuses to promote a snapshot whose
+    // commit != HEAD — the stale-claim failure mode becomes unwritable.
+    def gitLine(cmd: Seq[String]): String =
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        p.waitFor(); out
+      } catch { case _: Throwable => "" }
+    val commit = gitLine(Seq("git", "rev-parse", "HEAD")).take(40)
+    val dirty = gitLine(
+      Seq("git", "status", "--porcelain", "--", "src", "build.sbt")).nonEmpty
+    val prov = s""""commit":"$commit","dirty":$dirty"""
+    // Diagnostic subset runs (GRAFT_ONLY) write their per-query detail to a
+    // SEPARATE file: the r12 judge's q79-only attribution run overwrote the
+    // driver's full-suite BENCH_LOCAL.json — the only copy of that round's
+    // per-query record (VERDICT r12 artifact-honesty note 2).
+    val detailPath =
+      if (only.isDefined) "BENCH_LOCAL_ONLY.json" else "BENCH_LOCAL.json"
     val fileLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},"failed":$nFailed,$calib,$quietBlock,"queries":$qs,"passes":[${allPasses.map(p => qmap(p._1)).mkString(",")}],"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fileLine + "\n")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},"failed":$nFailed,$prov,$calib,$quietBlock,"queries":$qs,"passes":[${allPasses.map(p => qmap(p._1)).mkString(",")}],"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), fileLine + "\n")
     val stdoutLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},"failed":$nFailed,$calib,$quietBlock,"n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},"failed":$nFailed,$prov,$calib,$quietBlock,"n_queries":${results.size},"sf":"$sfDir","detail":"$detailPath"}"""
     spark.stop()
     // sole final stdout line (after spark.stop so no shutdown noise follows)
     println(stdoutLine)

@@ -53,6 +53,14 @@ object ShmDir {
       val owned = new java.io.File(f, Marker).isFile
       val stale = n == prefix || (n.startsWith("graft-") && owned && deadPid)
       if (stale) rmTree(f)
+      // A dead-PID graft-* dir WITHOUT the marker is never swept (the
+      // marker is the only proof of ownership), but on a box where the
+      // no-pre-marker-dirs assumption fails it leaks tmpfs forever —
+      // surface it instead of skipping silently (ADVICE r12).
+      else if (n.startsWith("graft-") && deadPid && !owned)
+        System.err.println(s"ShmDir: skipping unowned dead-PID dir " +
+          s"${f.getAbsolutePath} (no $Marker marker — not created by a " +
+          s"graft tool since r11; remove manually if it is stale)")
     }
     val mine = new java.io.File(base, s"$prefix-${ProcessHandle.current().pid()}")
     mine.mkdirs()

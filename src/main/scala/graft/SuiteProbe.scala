@@ -109,12 +109,27 @@ object SuiteProbe {
     // cell — the same count + un-prunable invariant-sum contract q35
     // pioneered. The cells stay marked order_insensitive in the artifact
     // so a reader can tell them from listing-materializing cells.
+    // In-code eligibility allowlist (ADVICE r12): GRAFT_SUM_CELL used to
+    // accept ANY registry name, so an order-SENSITIVE query could be
+    // silently downgraded to the count+invariant-sum check via env alone.
+    // Only the pair-LISTING queries — outputs whose total order is
+    // presentation machinery (house rule T5), never a consumer contract —
+    // may run order-insensitively; anything else is a hard error.
+    val sumCellEligible = Set(
+      "q23_embedding_neardup_pairs", "q34_minhash_lsh_pairs",
+      "q38_fuzzy_name_pairs", "q46_ratcliff_fuzzy_pairs",
+      "q56_passjoin_edit_pairs", "q77_fuzzy_near_miss_debug",
+      "q79_passjoin_k2_varlen", "q83_symdelete_title_pairs")
     val orderInsensitive = Set("q35_ngram_jaccard_blocked") ++
       sys.env.get("GRAFT_SUM_CELL").toSeq
         .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
         .map { n =>
           require(QueryRegistry.queries.exists(_.name == n),
             s"GRAFT_SUM_CELL names unknown query: $n")
+          require(sumCellEligible(n),
+            s"GRAFT_SUM_CELL names an order-sensitive query: $n — only " +
+              s"pair-listing cells may run order-insensitively " +
+              s"(eligible: ${sumCellEligible.toSeq.sorted.mkString(",")})")
           n
         }
     var failed = 0

@@ -344,6 +344,48 @@ class PlanSpec extends SparkSpec {
       s"PassJoin degenerated to pair scanning:\n$pass")
   }
 
+  test("full registry: no join residual evaluates >10 raw string ops per row") {
+    // The r12 q79 regression made durable (VERDICT r12 #6): a deterministic
+    // predicate over both join inputs gets folded into the join's RESIDUAL
+    // condition, where it runs once per CANDIDATE row with no subexpression
+    // elimination and a UTF8String allocation per substr — q79's ~20-substr
+    // witness CASE cost 35x there. Expensive per-candidate work must either
+    // be a fused codegen kernel (LevenshteinK / PassJoinWitness — custom
+    // exprs are NOT counted here, that is their design contract) or sit in
+    // a Filter/Project above the join. This audit walks every registry
+    // query's physical plan (descending through AQE wrappers) and counts
+    // raw string-manipulating builtins inside each join condition.
+    // Intentional residuals stay cheap: interval/overlap conditions
+    // (q87/q140/q153) are arithmetic, brute-force ed-joins carry the fused
+    // kernel plus two length() calls.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    val stringOps = Set("Substring", "Concat", "ConcatWs", "Length",
+      "Levenshtein", "StringReplace", "StringTranslate", "StringTrim",
+      "StringTrimLeft", "StringTrimRight", "Upper", "Lower", "InitCap",
+      "RegExpExtract", "RegExpReplace", "Like", "RLike", "StringSplit",
+      "SplitPart", "StringLocate", "StringInstr", "StringRepeat",
+      "StringLPad", "StringRPad", "Md5", "Sha1", "Sha2", "Crc32",
+      "XxHash64", "Murmur3Hash", "SoundEx")
+    def countOps(e: Expression): Int =
+      (if (stringOps(e.getClass.getSimpleName)) 1 else 0) +
+        e.children.map(countOps).sum
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case _ => p.children.flatMap(nodes)
+    })
+    val offenders = QueryRegistry.queries.flatMap { q =>
+      nodes(q.fn(spark, sf).queryExecution.executedPlan).collect {
+        case j: BaseJoinExec if j.condition.map(countOps).getOrElse(0) > 10 =>
+          s"${q.name}: ${j.nodeName} residual has " +
+            s"${countOps(j.condition.get)} string ops: ${j.condition.get}"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("full registry: no CartesianProduct in any query's initial physical plan") {
     // The r7 §17 one-off audit made durable: every BroadcastNestedLoopJoin
     // in the suite is a deliberate ONE-ROW cross (a query vector, a stats

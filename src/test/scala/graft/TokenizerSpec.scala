@@ -173,9 +173,16 @@ class TokenizerSpec extends SparkSpec {
     val corpusB = (0L until 300L).map { i =>
       (i, (0 until 6 + rnd.nextInt(3)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
     }
+    // (d) non-ASCII: multi-byte code points force the witness kernel's
+    // generic (code-point-indexed) path — byte offsets would mis-slice
+    // segments here (r13, PassJoinWitness).
+    val corpusD = (0L until 200L).map { i =>
+      (i, (0 until 4 + rnd.nextInt(5)).map(_ => "éüßж".charAt(rnd.nextInt(4))).mkString)
+    }
     val corpora: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
       "short-suffix" -> corpusA.toDF("k", "s"),
       "low-alphabet" -> corpusB.toDF("k", "s"),
+      "non-ascii" -> corpusD.toDF("k", "s"),
       "part-names" -> Tables.t(spark, sf, "part")
         .select(col("p_partkey").as("k"), col("p_name").as("s")))
     for ((name, df) <- corpora) {

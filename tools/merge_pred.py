@@ -15,17 +15,25 @@ def main():
     carried = json.load(open(carried_path))
     new_rows = {}
     base = None
+    # provenance is a JSON LIST of tags (ADVICE r12: the old ' | '-joined
+    # string grew unboundedly and its 'prior' default was dead); legacy
+    # string values from older artifacts are split back into lists.
+    def as_tags(v):
+        if isinstance(v, list):
+            return v
+        if isinstance(v, str) and v:
+            return [t for t in v.split(" | ") if t]
+        return []
     for p in news:
         d = json.load(open(p))
         base = base or d
         for r in d["results"]:
-            r["recorded"] = new_tag
+            r["recorded"] = [new_tag]
             new_rows[r["query"]] = r
     rows = list(new_rows.values())
     for r in carried["results"]:
         if r["query"] not in new_rows:
-            r["recorded"] = (r.get("recorded", "prior") + " | " + carried_tag
-                if r.get("recorded") else carried_tag)
+            r["recorded"] = as_tags(r.get("recorded")) + [carried_tag]
             rows.append(r)
     failed = sum(1 for r in rows if not r.get("ok"))
     doc = {

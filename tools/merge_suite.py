@@ -23,15 +23,26 @@ re-measured cells from carried ones). Bare paths get log<i> tags.
 Usage: merge_suite.py out.json sf_dir cpus shuffle_parts \
          excluded.json expected.txt [TAG=]log1 [[TAG=]log2 ...]
 """
-import json, re, sys
+import json, os, re, sys
 
 def main():
     out, sf_dir, cpus, parts, exc_path, expected_path = sys.argv[1:7]
     logs = sys.argv[7:]
     cells, provenance = {}, {}
     for i, spec in enumerate(logs):
+        # TAG=path only when the candidate tag is tag-shaped (no '/'): a
+        # bare path containing '=' (run=12/suite.log) must stay a path, not
+        # be silently reinterpreted and fail later on the truncated half
+        # (ADVICE r12).
         tag, _, path = spec.rpartition("=")
+        if "/" in tag:
+            tag, path = "", spec
         tag = tag or f"log{i}"
+        if not os.path.exists(path):
+            sys.exit(f"merge_suite: log not found: {path!r}"
+                     + (f" (parsed from spec {spec!r} as TAG={tag!r} — "
+                        f"use a tag without '=' or pass a bare path)"
+                        if path != spec else ""))
         for line in open(path, errors="replace"):
             m = re.match(r"SUITE (q\S+) (\{.*\})\s*$", line)
             if m:
