@@ -552,11 +552,32 @@ object PredProbe {
       * banded kernel on the full strings), derived ratio, and key order
       * re-asserted per row. Soundness (no wrong row), not completeness
       * (that stays with the small-sf oracle + the blocked-agreement
-      * property tests). */
+      * property tests).
+      *
+      * GRAFT_PAIR_WITNESS_BAND=N (r13, VERDICT r12 #7): witness only the
+      * deterministic hash band pmod(xxhash64(a_key, b_key), N) = 0 of the
+      * pair stream — the third-decade mode. The full-listing witness at
+      * sf100 is storage-bound on this box (measured r12: re-running q38 +
+      * localCheckpointing its 1.32B-row listing + two keyed joins ENOSPC'd
+      * past the ~109 GB budget); the band filter is PUSHED BELOW the
+      * listing's presentation sort by Catalyst (filters commute with
+      * Sort), so the re-run pays the operator's own dataflow but sorts and
+      * checkpoints only ~1/N of the output, and the witness joins are
+      * band-sized. The band is seeded by the pair keys themselves —
+      * deterministic, reproducible, and un-gameable by row position. The
+      * sampled count rides into the artifact for the reader to compare
+      * against the suite cell's full row count (expected rows/N, binomial
+      * noise). Soundness coverage is the band; the FULL listing stays
+      * witnessed at the decades where it fits (sf1/sf10). */
     def pairWitnessCheck(name: String, k: Int,
                          withRatio: Boolean): String = {
       import graft.functions.expressions.LevenshteinK.levenshtein_k
-      val out = runQ(name, bigDir).localCheckpoint()
+      val band = sys.env.getOrElse("GRAFT_PAIR_WITNESS_BAND", "1").toLong
+      require(band >= 1, s"GRAFT_PAIR_WITNESS_BAND must be >= 1, got $band")
+      val full = runQ(name, bigDir)
+      val out = (if (band == 1L) full
+        else full.filter(pmod(xxhash64(col("a_key"), col("b_key")),
+          lit(band)) === 0L)).localCheckpoint()
       val outN = out.count()
       val cust = t(spark, bigDir, "customer")
       val an = cust.select(col("c_custkey").as("a_key"),
@@ -581,7 +602,10 @@ object PredProbe {
       dropCached()
       val ok = r.getAs[Long]("bad") == 0 && r.getAs[Long]("n") == outN &&
         outN > 0
-      s"""{"query":"$name","kind":"witness_pairs","rows":$outN,""" +
+      val kind =
+        if (band == 1L) "witness_pairs" else "witness_pairs_sampled"
+      val bandField = if (band == 1L) "" else s""""band":$band,"""
+      s"""{"query":"$name","kind":"$kind",$bandField"rows":$outN,""" +
         s""""joined":${r.getAs[Long]("n")},"bad":${r.getAs[Long]("bad")},""" +
         s""""cross_replica_rows":${r.getAs[Long]("cross")},"ok":$ok}"""
     }
@@ -761,9 +785,33 @@ object PredProbe {
             (r.getAs[Long]("n"), r.getAs[Long]("bad"))
           })
       }),
-      "q79_passjoin_k2_varlen" -> (() =>
+      "q79_passjoin_k2_varlen" -> (() => {
+        import graft.functions.expressions.LevenshteinK.levenshtein_k
+        // cross-replica rows were ZERO at the rotation/affine decades,
+        // but the perm decade (sf100) must verify rather than assume
+        // (two independent letter permutations of the same vocabulary
+        // CAN land within ed 2 — the q46/q83 coincidence effect); each
+        // cross row re-derives its lev from part names via a keyed join.
+        // The witness closure only executes when cross rows exist, so
+        // the common zero-cross case pays nothing.
         replicaCheck("q79_passjoin_k2_varlen",
-          Seq("a_key" -> partS, "b_key" -> partS), Seq("lev"), Nil)),
+          Seq("a_key" -> partS, "b_key" -> partS), Seq("lev"), Nil,
+          crossWitness = Some { cross =>
+            val nm = t(spark, bigDir, "part")
+              .select(col("p_partkey"), col("p_name"))
+            val r = cross
+              .join(nm.select(col("p_partkey").as("a_key"),
+                col("p_name").as("__na")), Seq("a_key"))
+              .join(nm.select(col("p_partkey").as("b_key"),
+                col("p_name").as("__nb")), Seq("b_key"))
+              .agg(count(lit(1)).as("n"),
+                sum(when(levenshtein_k(col("__na"), col("__nb"), 2)
+                  .cast("long") =!= col("lev") ||
+                  col("a_key") >= col("b_key"), 1L).otherwise(0L)).as("bad"))
+              .head()
+            (r.getAs[Long]("n"), r.getAs[Long]("bad"))
+          })
+      }),
       "q145_association_rules" -> (() => q145Check()),
       "q154_pagerank_customer" -> (() => q154Check()),
       "q133_kmv_set_intersection" -> (() => q133Check()),
