@@ -58,6 +58,11 @@ def main() -> None:
     if "queries" not in cand:
         fail("no per-query detail — promote the FILE artifact "
              "(BENCH_LOCAL.json), not the stdout line")
+    qr = cand.get("quiet_ref", {})
+    if qr.get("residual_inflation", False):
+        fail(f"residual_inflation vs the current ref (median ratio "
+             f"{qr.get('median_query_ratio')}) — promoting an inflated run "
+             "would loosen the reference; re-run on a quiet box")
 
     with open("BENCH_QUIET_REF.json", "w") as f:
         json.dump(cand, f, separators=(",", ":"))
