@@ -1,6 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // str-probe absolute nominal at >=16 cores — measured + derived
+  // 2026-08-16 (no quiet window existed to calibrate directly): in-bench
+  // readings 0.740-0.754 during a window whose alloc probe sat ~1.5x its
+  // quiet band, 1.16-1.73 during a 2.2x episode, 0.658 fresh-JVM min —
+  // all consistent with quiet ~0.49. gate 1.5 puts the contended
+  // threshold at 0.63: the documented probe-invisible ~1.3x string-alloc
+  // windows (est. str ~0.64+) FAIL, quiet keeps ~28% headroom.
+  private val NOMSTR_32 = 0.42
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default 32 = the graded environment (driver runs local[32]) and what
@@ -165,7 +174,24 @@ object Bench {
         .selectExpr("sum(length(md5(concat(cast(id as string), 'graft')))) AS s")
         .queryExecution.toRdd.count(): Unit
     }
-    calibCpu(); calibAlloc() // codegen warmup for the probes, untimed
+    // str probe (r14, VERDICT r13 #2): the box's recurring probe-invisible
+    // weather mode inflates string-HEAVY queries 1.3-1.5x while the cpu
+    // probe stays nominal (even FAST — r14's weathered run read cpu 0.083
+    // vs the 0.088-0.104 quiet fresh-JVM band) and the md5-dominated alloc
+    // probe inflates only ~1.2x (0.236-0.270 vs quiet 0.17-0.22): md5 is
+    // arithmetic-bound per byte, so it under-weights the allocation/copy
+    // traffic the mode actually throttles. This probe is pure UTF8String
+    // materialization — repeat/substring/upper/concat chains, ~6
+    // allocations per row and no heavy arithmetic — the workload class of
+    // q79/q34/q121, which the weather inflates hardest.
+    def calibStr(): Double = timed {
+      spark.range(0L, 12000000L, 1L, cpus.toInt)
+        .selectExpr("sum(length(concat(substring(repeat(concat('g', " +
+          "cast(id % 9973 as string)), 10), 3, 40), upper(concat(" +
+          "cast(id as string), 'x', cast(id * 31 as string)))))) AS s")
+        .queryExecution.toRdd.count(): Unit
+    }
+    calibCpu(); calibAlloc(); calibStr() // probe codegen warmup, untimed
     // PROBE-GATED PASSES (round 6). Both committed driver artifacts so far
     // (r4 137.5 s, r5 135.3 s vs a 75.2 s quiet engine) were contention-
     // polluted, and best-of-2 across two differently-contended passes
@@ -189,6 +215,19 @@ object Bench {
     // a 2-3x contended probe pass as nominal.
     val (nomCpu, nomAlloc) =
       if (cpus.toInt >= 16) (0.20, 0.35) else (0.45, 0.80)
+    // str-probe nominal: derived 2026-08-16 ON the weathered box (no quiet
+    // window existed all of r13/r14 to calibrate properly): in-weather
+    // readings W with the same run's 149-query median at 1.31x quiet ref,
+    // so true quiet ≈ W/1.2-1.3 (the probe tracks the mode that inflates
+    // the queries). The bound is placed JUST BELOW the weathered readings
+    // (nominal x 1.5 gate ≈ 0.95 W): the documented 1.3-1.5x string-heavy
+    // windows now FAIL calibration (VERDICT r13 #2's ask) while a quiet
+    // box (~0.75 W) keeps ~20% headroom. Re-baseline via graft.ProbeOnly
+    // when a quiet window lands and tighten toward quiet x 1.15.
+    // GRAFT_NOMINAL_STR overrides; 0 disables the absolute str gate
+    // (self-relative still applies).
+    val nomStr = sys.env.get("GRAFT_NOMINAL_STR").map(_.toDouble)
+      .getOrElse(if (cpus.toInt >= 16) NOMSTR_32 else 0.0)
     val gate = 1.5
     // SELF-RELATIVE gate (round 7): the r6 driver artifact passed all-
     // nominal probes yet sat a uniform 1.38x above the same-day quiet
@@ -206,18 +245,22 @@ object Bench {
     // probe samples + passes; each pass records the INDICES of its
     // bracketing probe samples so contended verdicts can be re-derived
     // from the current run minimum at any time
-    val probesBuf = scala.collection.mutable.ListBuffer[(Double, Double)]()
+    val probesBuf =
+      scala.collection.mutable.ListBuffer[(Double, Double, Double)]()
     val passesBuf =
       scala.collection.mutable.ListBuffer[(Seq[(String, Double)], Int, Int)]()
-    def runMin: (Double, Double) =
-      (probesBuf.map(_._1).min, probesBuf.map(_._2).min)
-    def hotAbs(p: (Double, Double)): Boolean =
-      p._1 > nomCpu * gate || p._2 > nomAlloc * gate
-    def hotSelf(p: (Double, Double)): Boolean = {
-      val (mc, ma) = runMin
-      p._1 > mc * selfGate || p._2 > ma * selfGate
+    def runMin: (Double, Double, Double) =
+      (probesBuf.map(_._1).min, probesBuf.map(_._2).min,
+        probesBuf.map(_._3).min)
+    def hotAbs(p: (Double, Double, Double)): Boolean =
+      p._1 > nomCpu * gate || p._2 > nomAlloc * gate ||
+        (nomStr > 0 && p._3 > nomStr * gate)
+    def hotSelf(p: (Double, Double, Double)): Boolean = {
+      val (mc, ma, ms) = runMin
+      p._1 > mc * selfGate || p._2 > ma * selfGate || p._3 > ms * selfGate
     }
-    def probe(): (Double, Double) = (calibCpu(), calibAlloc())
+    def probe(): (Double, Double, Double) =
+      (calibCpu(), calibAlloc(), calibStr())
     val maxPasses = 4
     val targetClean = 2
     // A pass is contended if EITHER bracketing sample breaches the
@@ -271,9 +314,9 @@ object Bench {
     // open to tell a clean artifact from a polluted one — "contended":
     // [false,false] and clean_passes>=1 IS the claim, auditable from the
     // raw samples in the same record.
-    val (rmCpu, rmAlloc) = runMin
+    val (rmCpu, rmAlloc, rmStr) = runMin
     val calib =
-      s""""calibration":{"cpu":[${probesBuf.map(p => f3(p._1)).mkString(",")}],"alloc":[${probesBuf.map(p => f3(p._2)).mkString(",")}],"nominal_cpu":$nomCpu,"nominal_alloc":$nomAlloc,"gate":$gate,"self_gate":$selfGate,"run_min_cpu":${f3(rmCpu)},"run_min_alloc":${f3(rmAlloc)},"contended":[${allPasses.map(_._2).mkString(",")}],"clean_passes":${cleanPasses.size}}"""
+      s""""calibration":{"cpu":[${probesBuf.map(p => f3(p._1)).mkString(",")}],"alloc":[${probesBuf.map(p => f3(p._2)).mkString(",")}],"str":[${probesBuf.map(p => f3(p._3)).mkString(",")}],"nominal_cpu":$nomCpu,"nominal_alloc":$nomAlloc,"nominal_str":$nomStr,"gate":$gate,"self_gate":$selfGate,"run_min_cpu":${f3(rmCpu)},"run_min_alloc":${f3(rmAlloc)},"run_min_str":${f3(rmStr)},"contended":[${allPasses.map(_._2).mkString(",")}],"clean_passes":${cleanPasses.size}}"""
     // Quiet-reference comparison (round 7): probes bound CPU steal, but
     // the r6 driver run showed a residual ~1.38x query-time inflation the
     // probes never saw (box-speed delta / contention in a mode the probe
@@ -377,7 +420,46 @@ object Bench {
     val commit = gitLine(Seq("git", "rev-parse", "HEAD")).take(40)
     val dirty = gitLine(
       Seq("git", "status", "--porcelain", "--", "src", "build.sbt")).nonEmpty
-    val prov = s""""commit":"$commit","dirty":$dirty"""
+    // Build fingerprint (ADVICE r13): commit+dirty describe the WORKTREE,
+    // but the bench executes compiled classes — a committed-but-not-
+    // recompiled tree passed the promotion gate while measuring stale
+    // code. Stamp (a) the newest .class mtime of the classpath directory
+    // this object actually loaded from (covers frozen-dir launches too),
+    // and (b) the epoch of the last commit that TOUCHED src/build.sbt —
+    // not HEAD's epoch, because artifact-only commits move HEAD without
+    // requiring a rebuild (and a no-op incremental compile touches no
+    // .class file, so gating on HEAD's time would refuse forever).
+    // tools/promote_quiet.py refuses build_epoch < src_epoch.
+    val buildEpoch: Long = try {
+      // primary: the directory this class was loaded from (direct
+      // java -cp <dir> launches). Under `sbt runMain` the forked JVM's
+      // code source is sbt's PATHING JAR (a manifest-only jar standing in
+      // for the long classpath), not a directory — fall back to the
+      // worktree's compile output, which is what that launch executes.
+      val fromCodeSource = try {
+        val p = java.nio.file.Paths.get(Bench.getClass.getProtectionDomain
+          .getCodeSource.getLocation.toURI)
+        if (java.nio.file.Files.isDirectory(p)) Some(p) else None
+      } catch { case _: Throwable => None }
+      val root = fromCodeSource.getOrElse(
+        java.nio.file.Paths.get("target/scala-2.13/classes"))
+      if (!java.nio.file.Files.isDirectory(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter((p: java.nio.file.Path) => p.toString.endsWith(".class"))
+          .mapToLong((p: java.nio.file.Path) =>
+            java.nio.file.Files.getLastModifiedTime(p).toMillis / 1000L)
+          .max.orElse(0L)
+        finally s.close()
+      }
+    } catch { case _: Throwable => 0L }
+    val srcEpoch = gitLine(Seq("git", "log", "-1", "--format=%ct",
+      "--", "src", "build.sbt")).takeWhile(_.isDigit) match {
+      case "" => 0L
+      case d  => d.toLong
+    }
+    val prov = s""""commit":"$commit","dirty":$dirty,""" +
+      s""""build_epoch":$buildEpoch,"src_epoch":$srcEpoch"""
     // Diagnostic subset runs (GRAFT_ONLY) write their per-query detail to a
     // SEPARATE file: the r12 judge's q79-only attribution run overwrote the
     // driver's full-suite BENCH_LOCAL.json — the only copy of that round's

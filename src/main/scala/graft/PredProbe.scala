@@ -568,12 +568,31 @@ object PredProbe {
       * sampled count rides into the artifact for the reader to compare
       * against the suite cell's full row count (expected rows/N, binomial
       * noise). Soundness coverage is the band; the FULL listing stays
-      * witnessed at the decades where it fits (sf1/sf10). */
+      * witnessed at the decades where it fits (sf1/sf10).
+      *
+      * Per-query bands (r14, ADVICE r13): the global form "N" applies one
+      * band to every banded check in the invocation, which silently
+      * downsamples a check whose listing would have fit in full (q56's
+      * 465M rows vs q38's 1.32B need different bands). The env now also
+      * accepts "name:N,name:N" — a check not named runs UNBANDED (band
+      * 1), so mixing a banded giant with a full-listing witness in one
+      * invocation no longer shrinks the latter's soundness coverage. */
+    def bandFor(name: String): Long = {
+      val spec = sys.env.getOrElse("GRAFT_PAIR_WITNESS_BAND", "1").trim
+      val band =
+        if (!spec.contains(":")) spec.toLong
+        else spec.split(",").map(_.trim).filter(_.nonEmpty).map { e =>
+          val Array(q, n) = e.split(":").map(_.trim)
+          q -> n.toLong
+        }.toMap.getOrElse(name, 1L)
+      require(band >= 1,
+        s"GRAFT_PAIR_WITNESS_BAND for $name must be >= 1, got $band")
+      band
+    }
     def pairWitnessCheck(name: String, k: Int,
                          withRatio: Boolean): String = {
       import graft.functions.expressions.LevenshteinK.levenshtein_k
-      val band = sys.env.getOrElse("GRAFT_PAIR_WITNESS_BAND", "1").toLong
-      require(band >= 1, s"GRAFT_PAIR_WITNESS_BAND must be >= 1, got $band")
+      val band = bandFor(name)
       val full = runQ(name, bigDir)
       val out = (if (band == 1L) full
         else full.filter(pmod(xxhash64(col("a_key"), col("b_key")),
@@ -608,6 +627,94 @@ object PredProbe {
       s"""{"query":"$name","kind":"$kind",$bandField"rows":$outN,""" +
         s""""joined":${r.getAs[Long]("n")},"bad":${r.getAs[Long]("bad")},""" +
         s""""cross_replica_rows":${r.getAs[Long]("cross")},"ok":$ok}"""
+    }
+
+    // ---- q79 third decade: base-keyband replica decomposition ---------
+    /** The r13 q79 sf100 cell (5,789,994,567 pairs) reads +4.98% over the
+      * zero-cross extrapolation, and the surplus was never row-witnessed —
+      * the full replicaCheck would re-run the 3.6 h enumeration TWICE
+      * (decomposition pass + cross-witness pass). This check makes the
+      * same decomposition affordable by banding on the BASE part key:
+      * keep(a_key) := pmod(xxhash64(pmod(a_key, stride)), band) = 0.
+      * Two properties fall out of that choice:
+      *  - the predicate references ONLY the pair's left key, so Catalyst
+      *    pushes it below the candidate join into the index side — the
+      *    ~134B-candidate kernel grind shrinks by 1/band (a pair-hash
+      *    band needs both keys and lands AFTER the witness kernel in the
+      *    residual conjunct order, saving almost nothing);
+      *  - banding the BASE key (key mod stride) selects the SAME key
+      *    slice in every replica, so per-replica sampled counts and
+      *    shifted-key/lev sums must equal the banded small answer
+      *    EXACTLY (lev is invariant under each replica's character
+      *    bijection) — exact within-replica pinning on a 1/band slice,
+      *    not a statistical bound.
+      * Every sampled row (within AND cross) is re-derived through one
+      * broadcast-keyed join against part names: banded-kernel lev
+      * recomputed on the full strings, key order re-asserted. The cross
+      * bucket (__rep = -1) is the surplus under test: its sampled mass
+      * and lev profile ride into the artifact for comparison against the
+      * suite cell (expected cross/band, CLT over ~stride/band sampled
+      * left keys — left-key sampling is unbiased for totals but not
+      * per-pair i.i.d., hence "keyband", distinct from witness_pairs'
+      * pair-hash kind). One execution of the banded enumeration total:
+      * decomposition, witness, and cross accounting share a single
+      * aggregation pass. */
+    def q79KeyBandCheck(band: Long): String = {
+      val name = "q79_passjoin_k2_varlen"
+      import graft.functions.expressions.LevenshteinK.levenshtein_k
+      val s0 = partS
+      def keep(k: Column): Column =
+        pmod(xxhash64(pmod(k, lit(s0))), lit(band)) === 0L
+      val small = runQ(name, smallDir).filter(keep(col("a_key")))
+        .agg(count(lit(1)).as("n"), sum(col("lev")).as("sum_lev"),
+          sum(col("a_key")).as("sum_a_key"),
+          sum(col("b_key")).as("sum_b_key")).head()
+      dropCached()
+      val nm = t(spark, bigDir, "part")
+        .select(col("p_partkey"), col("p_name"))
+      val lev2 = levenshtein_k(col("__na"), col("__nb"), 2).cast("long")
+      val shift = greatest(col("__rep"), lit(0L)) * s0
+      val perRep = runQ(name, bigDir).filter(keep(col("a_key")))
+        .join(broadcast(nm.select(col("p_partkey").as("a_key"),
+          col("p_name").as("__na"))), Seq("a_key"))
+        .join(broadcast(nm.select(col("p_partkey").as("b_key"),
+          col("p_name").as("__nb"))), Seq("b_key"))
+        .withColumn("__rep",
+          when(expr(s"a_key div $s0") === expr(s"b_key div $s0"),
+            expr(s"a_key div $s0")).otherwise(lit(-1L)))
+        .groupBy(col("__rep"))
+        .agg(count(lit(1)).as("n"), sum(col("lev")).as("sum_lev"),
+          sum(col("a_key") - shift).as("sum_a_key"),
+          sum(col("b_key") - shift).as("sum_b_key"),
+          sum(when(lev2 =!= col("lev") || col("lev") < 0 ||
+            col("lev") > 2 || col("a_key") >= col("b_key"),
+            1L).otherwise(0L)).as("bad"))
+        .orderBy(col("__rep")).collect()
+      dropCached()
+      val fields = Seq("n", "sum_lev", "sum_a_key", "sum_b_key")
+      val within = perRep.filter(_.getAs[Long]("__rep") >= 0)
+      val repsSeen = within.map(_.getAs[Long]("__rep")).toSeq
+      val mismatches = within.flatMap { r =>
+        fields.filter(f => r.getAs[Long](f) != small.getAs[Long](f))
+          .map(f => s""""rep${r.getAs[Long]("__rep")}.$f":[${
+            r.getAs[Long](f)},${small.getAs[Long](f)}]""")
+      }
+      val cross = perRep.filter(_.getAs[Long]("__rep") < 0)
+      val crossN = cross.map(_.getAs[Long]("n")).sum
+      val crossLev = cross.map(_.getAs[Long]("sum_lev")).sum
+      val badTotal = perRep.map(_.getAs[Long]("bad")).sum
+      val total = perRep.map(_.getAs[Long]("n")).sum
+      val ok = badTotal == 0 && mismatches.isEmpty &&
+        repsSeen == (0L until reps.toLong) && small.getAs[Long]("n") > 0
+      s"""{"query":"$name","kind":"replica_keyband","band":$band,""" +
+        s""""stride":$s0,"reps_seen":${repsSeen.size},""" +
+        s""""sampled_total":$total,"bad":$badTotal,""" +
+        s""""cross_replica_rows":$crossN,"cross_sum_lev":$crossLev,""" +
+        s""""cross_share":${"%.6f".formatLocal(java.util.Locale.ROOT,
+          if (total == 0) 0.0 else crossN.toDouble / total)},""" +
+        s""""small":{${fields.map(f =>
+          s""""$f":${small.getAs[Long](f)}""").mkString(",")}},""" +
+        s""""mismatches":{${mismatches.mkString(",")}},"ok":$ok}"""
     }
 
     // ---- q120: witness re-score through a keyed join ------------------
@@ -787,6 +894,13 @@ object PredProbe {
       }),
       "q79_passjoin_k2_varlen" -> (() => {
         import graft.functions.expressions.LevenshteinK.levenshtein_k
+        // banded (GRAFT_PAIR_WITNESS_BAND names this check): the
+        // third-decade mode — base-keyband decomposition + witness in
+        // one pass (see q79KeyBandCheck). Unbanded: the full
+        // replica-decomposition check below, unchanged (the sf1/sf10
+        // record was measured through it).
+        val kb = bandFor("q79_passjoin_k2_varlen")
+        if (kb > 1) q79KeyBandCheck(kb) else {
         // cross-replica rows were ZERO at the rotation/affine decades,
         // but the perm decade (sf100) must verify rather than assume
         // (two independent letter permutations of the same vocabulary
@@ -811,6 +925,7 @@ object PredProbe {
               .head()
             (r.getAs[Long]("n"), r.getAs[Long]("bad"))
           })
+        }
       }),
       "q145_association_rules" -> (() => q145Check()),
       "q154_pagerank_customer" -> (() => q154Check()),

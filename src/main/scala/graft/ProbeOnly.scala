@@ -32,9 +32,19 @@ object ProbeOnly {
         .selectExpr("sum(length(md5(concat(cast(id as string), 'graft')))) AS s")
         .queryExecution.toRdd.count(): Unit
     }
-    cpu(); alloc() // codegen warmup, untimed
-    val readings = (1 to 3).map(_ => (cpu(), alloc()))
-    println(readings.map { case (c, a) => f"cpu=$c%.3f alloc=$a%.3f" }
+    // keep in lockstep with Bench.calibStr (r14 — the weather-sensitive
+    // UTF8String-materialization probe; see Bench for the rationale)
+    def str(): Double = timed {
+      spark.range(0L, 12000000L, 1L, cpus.toInt)
+        .selectExpr("sum(length(concat(substring(repeat(concat('g', " +
+          "cast(id % 9973 as string)), 10), 3, 40), upper(concat(" +
+          "cast(id as string), 'x', cast(id * 31 as string)))))) AS s")
+        .queryExecution.toRdd.count(): Unit
+    }
+    cpu(); alloc(); str() // codegen warmup, untimed
+    val readings = (1 to 3).map(_ => (cpu(), alloc(), str()))
+    println(readings.map { case (c, a, s) =>
+      f"cpu=$c%.3f alloc=$a%.3f str=$s%.3f" }
       .mkString("PROBES ", " | ", ""))
     spark.stop()
   }

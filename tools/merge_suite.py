@@ -30,13 +30,18 @@ def main():
     logs = sys.argv[7:]
     cells, provenance = {}, {}
     for i, spec in enumerate(logs):
-        # TAG=path only when the candidate tag is tag-shaped (no '/'): a
-        # bare path containing '=' (run=12/suite.log) must stay a path, not
-        # be silently reinterpreted and fail later on the truncated half
-        # (ADVICE r12).
-        tag, _, path = spec.rpartition("=")
-        if "/" in tag:
+        # A spec that names an existing file is ALWAYS a bare path — the
+        # r12 guard ('/' in the tag half) missed 'run=12/suite.log', whose
+        # slash lands after the '=', so the spec was reinterpreted as
+        # TAG='run' + path='12/suite.log' (ADVICE r13). TAG=path parsing
+        # is the fallback for specs that are not themselves files, and a
+        # '/' anywhere in the spec after the '=' still forces bare-path.
+        if os.path.exists(spec):
             tag, path = "", spec
+        else:
+            tag, _, path = spec.rpartition("=")
+            if "/" in tag or ("/" in path and not os.path.exists(path)):
+                tag, path = "", spec
         tag = tag or f"log{i}"
         if not os.path.exists(path):
             sys.exit(f"merge_suite: log not found: {path!r}"

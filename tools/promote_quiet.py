@@ -14,6 +14,7 @@ Refuses to promote unless ALL of:
 
 Usage: tools/promote_quiet.py [candidate.json] [--sf /root/testdata/sf0.1]
 """
+import argparse
 import json
 import subprocess
 import sys
@@ -25,11 +26,16 @@ def fail(msg: str) -> None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    cand_path = args[0] if args else "BENCH_LOCAL.json"
-    sf = "/root/testdata/sf0.1"
-    if "--sf" in sys.argv:
-        sf = sys.argv[sys.argv.index("--sf") + 1]
+    # argparse, not hand-rolled token filtering (ADVICE r13): dropping
+    # only '--'-prefixed tokens left --sf's VALUE in the positional list,
+    # so `promote_quiet.py --sf /root/testdata/sf1` selected the sf PATH
+    # as the candidate file and died on a confusing JSON error instead of
+    # a REFUSED message.
+    ap = argparse.ArgumentParser()
+    ap.add_argument("candidate", nargs="?", default="BENCH_LOCAL.json")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ns = ap.parse_args()
+    cand_path, sf = ns.candidate, ns.sf
 
     with open(cand_path) as f:
         cand = json.load(f)
@@ -46,6 +52,19 @@ def main() -> None:
     if cand.get("dirty", True):
         fail("measured tree had uncommitted src/build.sbt changes "
              "('dirty': true) — commit first, then re-run the bench")
+    # Build fingerprint (ADVICE r13): commit==HEAD + dirty=false describe
+    # the worktree, but the bench executes compiled classes — refuse a
+    # snapshot whose newest .class predates the last commit that touched
+    # src/build.sbt (committed-but-not-recompiled = measuring stale code).
+    build = cand.get("build_epoch", 0)
+    src = cand.get("src_epoch", 0)
+    if not build or not src:
+        fail(f"missing build fingerprint (build_epoch={build}, "
+             f"src_epoch={src}; pre-r14 artifact?) — re-run graft.Bench")
+    if build < src:
+        fail(f"build_epoch {build} < src_epoch {src} — the compiled "
+             "classes predate the last src/build.sbt commit; "
+             "run `sbt compile` and re-run the bench")
     if cand.get("sf") != sf:
         fail(f"sf {cand.get('sf')!r} != graded {sf!r}")
     if cand.get("failed", 1) != 0:
