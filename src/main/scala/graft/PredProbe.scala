@@ -469,17 +469,51 @@ object PredProbe {
       * cross-replica pairs are pure combinatorics (C(reps,2) · m_s² per
       * source, m_s = small docs of source s) whose jaccard is 0 except
       * for hash/alias coincidences — which can only ADD intersection, so
-      * the cross jaccard mass is gated ONE-SIDEDLY at the q133 budget
-      * (5e-4 of the within mass). The jacc_xck contract boolean must
-      * hold on every pair, within and cross. One aggregation pass — the
-      * total-order sort is presentation machinery the aggregate elides
-      * (same dataflow argument as SuiteProbe's order-insensitive cell). */
-    def q35Check(): String = {
+      * the cross jaccard mass is gated ONE-SIDEDLY. The jacc_xck contract
+      * boolean must hold on every pair, within and cross. One aggregation
+      * pass — the total-order sort is presentation machinery the
+      * aggregate elides (same dataflow argument as SuiteProbe's
+      * order-insensitive cell).
+      *
+      * Alias-mass budget (rewritten r14): the original bound (5e-4 of the
+      * WITHIN mass, per source) had a latent scaling bug the banded smoke
+      * surfaced cheaply — alias mass is proportional to CROSS PAIR COUNT
+      * (∝ reps²·m²), while within mass grows only ∝ reps·m², so the old
+      * budget would have failed the full sf100 check too had its ~90 h
+      * run ever been affordable; and per-source gating is discreteness-
+      * fragile under banding (a single coincidental j≈0.035 pair, ~35k
+      * micro, exceeds a slice-sized source budget). The contract is now
+      * what the physics says: TOTAL cross mass ≤ predicted cross pairs ×
+      * 5e-3 micro/pair (one-sided; measured alias rate 2.46e-3 at the
+      * sf10 full listing and 1.41e-3 at the sf100 band-100 smoke — 2-3.5×
+      * headroom, scale-invariant per pair). Per-source exact counts and
+      * the per-pair xck boolean keep per-source health pinned.
+      *
+      * Two-sided base-keyband (r14, VERDICT r13 #7): with band B the
+      * check keeps only pairs whose BOTH docs fall in the base-id keyband
+      * keep(id) := pmod(xxhash64(id mod docS), B) = 0 — each conjunct
+      * references one join side, so Catalyst pushes both below the pair
+      * join into the scans and the enumerated pair mass shrinks ~1/B²
+      * (the sf100 full listing is ~625B pairs / ~90 h; B=10 ≈ the sf10
+      * full check's cost). Banding the BASE id preserves EVERY exactness
+      * property of the unbanded check: the same doc slice is selected in
+      * each replica, so banded within cells remain bijective images of
+      * the BANDED small cells (exact n + quantized-jaccard equality), and
+      * banded cross counts remain pure combinatorics, C(reps,2)·m′² per
+      * source with m′ = banded small docs of that source. Nothing becomes
+      * statistical — only the slice narrows. */
+    def q35Check(band: Long = 1L): String = {
       val name = "q35_ngram_jaccard_blocked"
-      val mS = t(spark, smallDir, "documents").groupBy(col("source"))
+      def keep(c: Column): Column =
+        if (band == 1L) lit(true)
+        else pmod(xxhash64(pmod(c, lit(docS))), lit(band)) === 0L
+      val mS = t(spark, smallDir, "documents")
+        .filter(keep(col("doc_id"))).groupBy(col("source"))
         .agg(count(lit(1)).as("m")).collect()
         .map(r => r.getAs[String]("source") -> r.getAs[Long]("m")).toMap
-      val small = runQ(name, smallDir).groupBy(col("source"))
+      val small = runQ(name, smallDir)
+        .filter(keep(col("a_id")) && keep(col("b_id")))
+        .groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("jaccard") * 1e6, 0).cast("long")).as("sj"),
           coalesce(min(when(col("jacc_xck"), 1L).otherwise(0L)), lit(1L))
@@ -489,6 +523,7 @@ object PredProbe {
         .toMap
       dropCached()
       val bigRows = runQ(name, bigDir)
+        .filter(keep(col("a_id")) && keep(col("b_id")))
         .withColumn("__rep",
           when(expr(s"a_id div $docS") === expr(s"b_id div $docS"),
             expr(s"a_id div $docS")).otherwise(lit(-1L)))
@@ -516,26 +551,33 @@ object PredProbe {
           case _ =>
         }
       }
-      // cross: combinatorial count, one-sided jaccard mass, contract bool
-      val crossBudget = math.max(2L,
-        small.values.map(_._2).sum * reps / 2000)
+      // cross: combinatorial count per source + per-pair contract bool;
+      // alias jaccard mass gated one-sidedly on the TOTAL at 5e-3 micro
+      // per predicted cross pair (see scaladoc — the old within-mass-
+      // proportional per-source budget mis-scaled with reps and banding)
+      var predCrossTotal = 0L
       for (s <- sources) {
         val m = mS(s)
         val predCross = reps.toLong * (reps - 1) / 2 * m * m
+        predCrossTotal += predCross
         val c = cross.filter(_.getAs[String]("source") == s)
         val nC = c.map(_.getAs[Long]("n")).sum
         val sjC = c.map(_.getAs[Long]("sj")).sum
         val xckC = c.map(_.getAs[Long]("xck")).forall(_ == 1L)
-        if (nC != predCross || sjC < 0 || sjC > crossBudget || !xckC)
-          mismatches += s""""$s.cross":[$nC,$predCross,$sjC,$crossBudget,$xckC]"""
+        if (nC != predCross || sjC < 0 || !xckC)
+          mismatches += s""""$s.cross":[$nC,$predCross,$sjC,$xckC]"""
       }
+      val crossBudget = math.max(2L, predCrossTotal / 200L)
+      val crossMass = cross.map(_.getAs[Long]("sj")).sum
+      if (crossMass > crossBudget)
+        mismatches += s""""cross_mass":[$crossMass,$crossBudget]"""
       val ok = mismatches.isEmpty
       s"""{"query":"$name","kind":"within_cross_decomposition",""" +
+        s""""band":$band,""" +
         s""""within_cells":${within.length},"cross_rows":${
           cross.map(_.getAs[Long]("n")).sum},""" +
-        s""""cross_jaccard_micro":${cross.map(_.getAs[Long]("sj")).sum},""" +
-        s""""cross_budget":${math.max(2L,
-          small.values.map(_._2).sum * reps / 2000)},""" +
+        s""""cross_jaccard_micro":$crossMass,""" +
+        s""""cross_budget":$crossBudget,""" +
         s""""mismatches":{${mismatches.mkString(",")}},"ok":$ok}"""
     }
 
@@ -966,7 +1008,8 @@ object PredProbe {
       // q35 LAST: its cell enumerates the full within-source pair listing
       // (the 6.25B-pair aggregation costs ~an hour at sf10) — every
       // cheaper verdict lands first if the run is wall-killed
-      "q35_ngram_jaccard_blocked" -> (() => q35Check()))
+      "q35_ngram_jaccard_blocked" -> (() =>
+        q35Check(bandFor("q35_ngram_jaccard_blocked"))))
 
     // Scope-outs recorded IN the artifact (VERDICT r10 #8) — see ProbeEnv.
     val excluded: Map[String, String] = ProbeEnv.parseExclude(
