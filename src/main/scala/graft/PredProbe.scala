@@ -85,6 +85,25 @@ object PredProbe {
   private def f3(d: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, d)
 
+  /** GRAFT_PAIR_WITNESS_BAND spec → the band for one named check.
+    * Global form "N" applies to every banded check; per-query form
+    * "name:N,name:N" (r14, ADVICE r13) bands only the named checks —
+    * an unnamed check runs UNBANDED (band 1), so a band sized for one
+    * giant listing no longer silently downsamples a full-listing
+    * witness sharing the invocation. Extracted pure for unit testing. */
+  def parseBandSpec(rawSpec: String, name: String): Long = {
+    val spec = rawSpec.trim
+    val band =
+      if (!spec.contains(":")) spec.toLong
+      else spec.split(",").map(_.trim).filter(_.nonEmpty).map { e =>
+        val Array(q, n) = e.split(":").map(_.trim)
+        q -> n.toLong
+      }.toMap.getOrElse(name, 1L)
+    require(band >= 1,
+      s"GRAFT_PAIR_WITNESS_BAND for $name must be >= 1, got $band")
+    band
+  }
+
   def main(args: Array[String]): Unit = {
     val smallDir = args(0)
     val bigDir = args(1)
@@ -619,18 +638,8 @@ object PredProbe {
       * accepts "name:N,name:N" — a check not named runs UNBANDED (band
       * 1), so mixing a banded giant with a full-listing witness in one
       * invocation no longer shrinks the latter's soundness coverage. */
-    def bandFor(name: String): Long = {
-      val spec = sys.env.getOrElse("GRAFT_PAIR_WITNESS_BAND", "1").trim
-      val band =
-        if (!spec.contains(":")) spec.toLong
-        else spec.split(",").map(_.trim).filter(_.nonEmpty).map { e =>
-          val Array(q, n) = e.split(":").map(_.trim)
-          q -> n.toLong
-        }.toMap.getOrElse(name, 1L)
-      require(band >= 1,
-        s"GRAFT_PAIR_WITNESS_BAND for $name must be >= 1, got $band")
-      band
-    }
+    def bandFor(name: String): Long = PredProbe.parseBandSpec(
+      sys.env.getOrElse("GRAFT_PAIR_WITNESS_BAND", "1"), name)
     def pairWitnessCheck(name: String, k: Int,
                          withRatio: Boolean): String = {
       import graft.functions.expressions.LevenshteinK.levenshtein_k
