@@ -1,14 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  // str-probe absolute nominal at >=16 cores — measured + derived
-  // 2026-08-16 (no quiet window existed to calibrate directly): in-bench
-  // readings 0.740-0.754 during a window whose alloc probe sat ~1.5x its
-  // quiet band, 1.16-1.73 during a 2.2x episode, 0.658 fresh-JVM min —
-  // all consistent with quiet ~0.49. gate 1.5 puts the contended
-  // threshold at 0.63: the documented probe-invisible ~1.3x string-alloc
-  // windows (est. str ~0.64+) FAIL, quiet keeps ~28% headroom.
-  private val NOMSTR_32 = 0.42
+  // str-probe absolute nominal at >=16 cores — RE-BASELINED 2026-08-19 in
+  // the first measured-quiet window since the probe shipped (full-suite
+  // bench at median query ratio 1.066 vs the quiet ref, residual_inflation
+  // false): in-bench quiet samples read str 0.663-0.718, fresh-JVM
+  // ProbeOnly 0.654-0.893 — the provisional 0.42 nominal (derived on a
+  // weathered box, assuming quiet ~0.49) put the bound at 0.63 and flagged
+  // every pass of that QUIET run as contended. Quiet is ~0.66-0.72, so
+  // nominal 0.53 x gate 1.5 = 0.795: quiet keeps ~10% headroom while the
+  // documented 1.3-1.5x string-alloc weather windows (>= 0.86 from a 0.66
+  // quiet floor) still FAIL. The self-relative gate (run_min x 1.4) stays
+  // the tighter check inside any one run.
+  private val NOMSTR_32 = 0.53
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -268,8 +268,15 @@ object CurationOps {
       val shared = train.join(broadcast(ev), Seq("sg"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared")) // shingles() is distinct per doc
-      val totals = train.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"))
+      // r14: per-doc shingle totals WITHOUT a second explode+aggregation
+      // pass — shingles() is array_distinct'd per doc, so counting the
+      // exploded rows is size() of the array; 0-shingle docs differ only
+      // as totals rows the inner join drops either way. One narrow map,
+      // no exchange (guide §2.4).
+      val totals = t(s, d, "documents")
+        .filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          size(shingles(tokens(col("text")))).cast("long").as("n_shingles"))
       shared.join(totals, Seq("doc_id"))
         .select(col("doc_id"), col("n_shared"), col("n_shingles"),
           round(col("n_shared").cast("double") / col("n_shingles"), 6)
@@ -330,8 +337,12 @@ object CurationOps {
         .join(ev.hint("shuffle_hash"), Seq("sg"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared")) // shingles() is distinct per doc
-      val totals = train.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"))
+      // r14: totals via size() of the per-doc distinct shingle array —
+      // no second explode pass, no exchange (see q85)
+      val totals = t(s, d, "documents")
+        .filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          size(shingles(tokens(col("text")))).cast("long").as("n_shingles"))
       shared.join(totals, Seq("doc_id"))
         .select(col("doc_id"), col("n_shared"), col("n_shingles"),
           round(col("n_shared").cast("double") / col("n_shingles"), 6)

