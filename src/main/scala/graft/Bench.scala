@@ -482,8 +482,13 @@ object Bench {
     val fileLine =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},"failed":$nFailed,$prov,$calib,$quietBlock,"queries":$qs,"passes":[${allPasses.map(p => qmap(p._1)).mkString(",")}],"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), fileLine + "\n")
+    // The driver contract requires per-query seconds IN the stdout line
+    // ({"metric",...,"queries":{...},"sf"}): the driver re-runs the bench
+    // at a lower core count at the SAME sf, and both runs would write the
+    // same detail file — stdout is the only per-run channel. (r13 routed
+    // queries to the detail file only; restored r14.)
     val stdoutLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},"failed":$nFailed,$prov,$calib,$quietBlock,"n_queries":${results.size},"sf":"$sfDir","detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","best_of":${cleanPasses.size.max(1)},"failed":$nFailed,$prov,$calib,$quietBlock,"queries":$qs,"n_queries":${results.size},"sf":"$sfDir","detail":"$detailPath"}"""
     spark.stop()
     // sole final stdout line (after spark.stop so no shutdown noise follows)
     println(stdoutLine)

@@ -38,33 +38,35 @@ object CurationOps {
     // One superstep: neighbor-min then pointer jump (comp(k) := comp(comp(k));
     // every comp value is a node key, so the self-join always matches). The
     // jump halves remaining label depth → O(log diameter) supersteps.
+    // The superstep carries a per-row `chg` flag (new comp != old comp),
+    // so convergence reads the flag off the just-checkpointed rows — a
+    // single exchange-free scan — instead of re-joining consecutive
+    // iterations on key (was: join + count, 2 extra exchanges per round).
     def superstep(comp: DataFrame): DataFrame = {
       val nbrMin = sym.join(comp, sym("src") === comp("key"))
         .groupBy(col("dst")).agg(min(col("comp")).as("nbr_comp"))
       val stepped = comp.as("c")
         .join(nbrMin, col("c.key") === nbrMin("dst"), "left")
-        .select(col("c.key").as("key"),
+        .select(col("c.key").as("key"), col("c.comp").as("prev"),
           least(col("c.comp"), coalesce(col("nbr_comp"), col("c.comp"))).as("comp"))
       stepped.as("s")
         .join(stepped.select(col("key").as("jk"), col("comp").as("jcomp")).as("j"),
           col("s.comp") === col("jk"), "left")
         .select(col("s.key").as("key"),
-          coalesce(col("jcomp"), col("s.comp")).as("comp"))
+          coalesce(col("jcomp"), col("s.comp")).as("comp"),
+          (coalesce(col("jcomp"), col("s.comp")) =!= col("s.prev")).as("chg"))
     }
     var comp = nodes.select(col("key"), col("key").as("comp")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val updated = superstep(comp).localCheckpoint()
-      val changed = updated.as("n")
-        .join(comp.as("o"), col("n.key") === col("o.key"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
+      converged = updated.filter(col("chg")).isEmpty
       comp = updated
-      converged = changed == 0
       iter += 1
     }
     lastSupersteps = iter
-    comp
+    comp.select(col("key"), col("comp"))
   }
 
   /** BLOCKED connected components — the production shape for dedup

@@ -93,12 +93,16 @@ object TokenizerOps {
   private val Rounds = 8
   private val DictSize = 200
 
-  /** The corpus word dict feeding training (shared by q117/q119). */
+  /** The corpus word dict feeding training (shared by q117/q119).
+    * The alpha-only regex commutes with the wordcount (it filters on the
+    * group KEY), so it runs once per DISTINCT word after the aggregation
+    * instead of once per occurrence; map-side combine keeps the shuffle
+    * at distinct-per-partition either way. */
   private def corpusDict(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(explode(split(lower(col("text")), " ")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(col("w").rlike("^[a-z]+$"))
       .orderBy(col("freq").desc, col("w")).limit(DictSize)
 
   /** Shared oracle CTE chain: dict → char-encoded w0 → per-round
